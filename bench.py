@@ -1,0 +1,80 @@
+"""Headline benchmark: novel 512x1024 pano render, one chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Baseline: the BASELINE.md north-star of 1.0 s/frame at 512x1024 on one
+v5e chip (the reference never measures throughput; its render loop pushes
+4096-8192-ray batches through a Python loop, ``render.py:101,414``).
+``vs_baseline`` = baseline_seconds / ours (>1 means faster than target).
+"""
+
+import json
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    from panogrf_tpu.renderer.renderer import NeuralRayGenRenderer
+    from panogrf_tpu.renderer import full_render
+
+    H, W = 512, 1024
+    DH, DW = 256, 512
+    rfn = 2
+    on_cpu = jax.devices()[0].platform == "cpu"
+    if on_cpu:  # keep CI sane; the driver runs this on the real chip
+        H, W, DH, DW = 64, 128, 32, 64
+
+    model = NeuralRayGenRenderer(height=H, width=W, depth_hw=(DH, DW))
+    rng = np.random.default_rng(0)
+    ref_info = {
+        "imgs": jnp.asarray(rng.uniform(size=(rfn, H, W, 3)), jnp.float32),
+        "mvs_depth": jnp.asarray(rng.uniform(1.0, 6.0, size=(rfn, DH, DW, 1)),
+                                 jnp.float32),
+        "depth_range": jnp.asarray([[0.5, 15.0]] * rfn),
+        "w2c": jnp.broadcast_to(
+            jnp.concatenate([jnp.eye(3), jnp.zeros((3, 1))], 1),
+            (rfn, 3, 4)).at[1, 2, 3].set(1.0),
+    }
+    data = {"ref_imgs_info": ref_info,
+            "que_imgs_info": {
+                "coords": jnp.zeros((1, 8, 2)),
+                "c2w": jnp.concatenate([jnp.eye(3),
+                                        jnp.asarray([[0.], [0.], [0.5]])], 1),
+                "depth_range": jnp.asarray([[0.5, 15.0]]),
+            }}
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), data)
+
+    c2w = data["que_imgs_info"]["c2w"]
+    qdr = data["que_imgs_info"]["depth_range"]
+    chunk = 8192 if not on_cpu else 2048
+
+    ref_data = full_render.prepare_ref_data(model, params, ref_info)
+    # warmup (compile)
+    out = full_render.render_image(model, params, ref_info, c2w, qdr,
+                                   chunk=chunk, ref_data=ref_data)
+    jax.block_until_ready(out["rgb"])
+
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        out = full_render.render_image(model, params, ref_info, c2w, qdr,
+                                       chunk=chunk, ref_data=ref_data)
+        jax.block_until_ready(out["rgb"])
+        times.append(time.perf_counter() - t0)
+    sec = min(times)
+    rays_per_sec = H * W / sec
+    baseline_sec = 1.0 * (H * W) / (512 * 1024)  # scale target with size
+    print(json.dumps({
+        "metric": "novel_pano_render_512x1024" if not on_cpu
+                  else f"novel_pano_render_{H}x{W}_cpu",
+        "value": round(sec * 1000.0, 2),
+        "unit": "ms/frame",
+        "vs_baseline": round(baseline_sec / sec, 3),
+        "rays_per_sec": int(rays_per_sec),
+    }))
+
+
+if __name__ == "__main__":
+    main()

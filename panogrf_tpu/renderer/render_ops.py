@@ -1,0 +1,217 @@
+"""Ray sampling, projection and compositing ops for the renderer.
+
+Reference ``network/render_ops.py`` re-designed for TPU: everything is a
+batched, statically-shaped expression (no per-ray Python loops); the
+projection/gather tensor layout (rfn, qn, rn, dn, .) matches the reference
+so the aggregation net is drop-in.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from panogrf_tpu.core.sphere import SphereConvention
+from panogrf_tpu.ops.resample import interpolate_feats
+
+Array = jax.Array
+
+
+# ---------------------------------------------------------------------------
+# depth sampling (reference render_ops.py:292-339)
+# ---------------------------------------------------------------------------
+
+def sample_depth(qn: int, rn: int, dn: int, near: float, far: float,
+                 use_disp: bool, rng: jax.Array | None = None) -> tuple:
+    """Stratified uniform (in depth or disparity) sample depths.
+
+    :return: (que_depth (qn, rn, dn), que_dists (qn, rn, dn)).
+    """
+    assert dn > 2
+    if use_disp:
+        lo, hi = 1.0 / near, 1.0 / far
+    else:
+        lo, hi = near, far
+    interval = (hi - lo) / (dn - 1)
+    val = jnp.arange(1, dn - 1, dtype=jnp.float32)[None, None]
+    if rng is not None:
+        val = val + (jax.random.uniform(rng, (qn, rn, dn - 2)) - 0.5) * 0.999
+    else:
+        val = jnp.broadcast_to(val, (qn, rn, dn - 2))
+    ticks = jnp.concatenate(
+        [jnp.zeros((qn, rn, 1)), interval * val,
+         jnp.full((qn, rn, 1), hi - lo)], axis=-1)
+    if use_disp:
+        depth = 1.0 / (1.0 / near + ticks)
+    else:
+        depth = near + ticks
+    dists = jnp.concatenate(
+        [depth[..., 1:], jnp.full((qn, rn, 1), 1e6)], axis=-1) - depth
+    return depth, dists
+
+
+def depth2inv_dists(depth: Array, depth_range: Array) -> Array:
+    """Sample intervals in normalized inverse-depth space (reference
+    ``render_ops.py:110-122``)."""
+    near = -1.0 / depth_range[:, 0][:, None, None]
+    far = -1.0 / depth_range[:, 1][:, None, None]
+    d = (-1.0 / depth - near) / (far - near)
+    dists = jnp.concatenate(
+        [d[..., 1:] - d[..., :-1],
+         jnp.full((*d.shape[:-1], 1), 1e6, d.dtype)], axis=-1)
+    return dists
+
+
+def sample_fine_depth(depth: Array, hit_prob: Array, depth_range: Array,
+                      fdn: int, rng: jax.Array | None,
+                      inv_mode: bool = True) -> Array:
+    """Hierarchical CDF inverse sampling (reference render_ops.py:413-473).
+
+    :param depth: (qn, rn, dn) coarse sample depths (sorted).
+    :param hit_prob: (qn, rn, dn) coarse hit probabilities.
+    :return: (qn, rn, fdn) fine depths.
+    """
+    if inv_mode:
+        near = -1.0 / depth_range[0, 0]
+        far = -1.0 / depth_range[0, 1]
+        depth = (-1.0 / depth - near) / (far - near)
+
+    center = (depth[..., 1:] + depth[..., :-1]) / 2.0
+    bins = jnp.concatenate([depth[..., :1], center, depth[..., -1:]], axis=-1)
+
+    pdf = hit_prob + 1e-5
+    pdf = pdf / jnp.sum(pdf, axis=-1, keepdims=True)
+    cdf = jnp.cumsum(pdf, axis=-1)
+    cdf = jnp.concatenate([jnp.zeros_like(cdf[..., :1]), cdf], axis=-1)
+
+    if rng is None:
+        u = (jnp.arange(fdn, dtype=jnp.float32) + 0.5) / fdn
+        u = jnp.broadcast_to(u, (*cdf.shape[:-1], fdn))
+    else:
+        u = jax.random.uniform(rng, (*cdf.shape[:-1], fdn))
+
+    # searchsorted per ray: vmap over flattened rays.
+    qn, rn, nb = cdf.shape
+    flat_cdf = cdf.reshape(qn * rn, nb)
+    flat_u = u.reshape(qn * rn, fdn)
+    inds = jax.vmap(lambda c, x: jnp.searchsorted(c, x, side="right"))(
+        flat_cdf, flat_u).reshape(qn, rn, fdn)
+    below = jnp.maximum(inds - 1, 0)
+    above = jnp.minimum(inds, nb - 1)
+
+    def take(src, idx):
+        return jnp.take_along_axis(src, idx, axis=-1)
+
+    cdf_b, cdf_a = take(cdf, below), take(cdf, above)
+    bin_b, bin_a = take(bins, below), take(bins, above)
+    denom = jnp.where(cdf_a - cdf_b < 1e-5, 1.0, cdf_a - cdf_b)
+    t = (u - cdf_b) / denom
+    fine = bin_b + t * (bin_a - bin_b)
+
+    if inv_mode:
+        fine = fine * (far - near) + near
+        fine = -1.0 / fine
+    return fine
+
+
+# ---------------------------------------------------------------------------
+# points / projection
+# ---------------------------------------------------------------------------
+
+def gather_at_coords(grid: Array, coords: Array) -> Array:
+    """Index an (H, W, C) grid at integer pixel coords (qn, rn, 2)."""
+    ix = coords[..., 0].astype(jnp.int32)
+    iy = coords[..., 1].astype(jnp.int32)
+    return grid[iy, ix]
+
+
+def gather_at_coords_batched(grids: Array, coords: Array) -> Array:
+    """Index (B, H, W, C) grids at integer coords (B, N, 2) -> (B, N, C)."""
+    return jax.vmap(gather_at_coords)(grids, coords)
+
+
+def depth2points_spherical(coords: Array, que_depth: Array, c2w: Array,
+                           directions: Array) -> tuple:
+    """Sample points along spherical rays (reference render_ops.py:76-106).
+
+    :param coords: (qn, rn, 2) integer pixel coords in the query image.
+    :param que_depth: (qn, rn, dn).
+    :param c2w: (3, 4) query camera-to-world.
+    :param directions: (H, W, 3) precomputed unit directions.
+    :return: (que_pts (qn, rn, dn, 3) world, que_dir (qn, rn, dn, 3) —
+        NEGATED unit ray directions like the reference).
+    """
+    dirs_cam = gather_at_coords(directions, coords)          # (qn, rn, 3)
+    rot, trans = c2w[:3, :3], c2w[:3, 3]
+    dirs_w = jnp.einsum("ij,qrj->qri", rot, dirs_cam)
+    pts = trans + dirs_w[:, :, None] * que_depth[..., None]
+    que_dir = -dirs_w / jnp.linalg.norm(dirs_w, axis=-1, keepdims=True)
+    que_dir = jnp.broadcast_to(que_dir[:, :, None], pts.shape)
+    return pts, que_dir
+
+
+def project_points_dict(ref_data: dict, que_pts: Array,
+                        convention: SphereConvention) -> dict:
+    """Project query points into every reference ERP view and gather.
+
+    Reference ``render_ops.py:234-257``.  ``ref_data`` keys (channel-last):
+    ``imgs`` (rfn, H, W, 3), ``w2c`` (rfn, 3, 4), ``ray_feats``
+    (rfn, fh, fw, F), ``img_feats`` (rfn, gh, gw, F2).
+
+    :return: dict of (rfn, qn, rn, dn, c) arrays: dir, pts(2), depth,
+        ray_feats, rgb, img_feats.
+    """
+    qn, rn, dn, _ = que_pts.shape
+    rfn, h, w, _ = ref_data["imgs"].shape
+    pts = que_pts.reshape(-1, 3)                              # (pn, 3)
+
+    w2c = ref_data["w2c"]                                     # (rfn, 3, 4)
+    cam = (jnp.einsum("vij,pj->vpi", w2c[:, :, :3], pts)
+           + w2c[:, None, :, 3])                              # (rfn, pn, 3)
+    prj_xy, prj_depth = convention.project_to_pixels(cam, h, w)
+
+    # view directions: from point towards the ref camera (negated unit),
+    # reference ``render_ops.py:195-209``.
+    cam_pos = -jnp.einsum("vji,vj->vi", w2c[:, :, :3], w2c[:, :, 3])
+    d = pts[None] - cam_pos[:, None]
+    prj_dir = -d / jnp.maximum(jnp.linalg.norm(d, axis=-1, keepdims=True),
+                               1e-5)
+
+    prj_ray_feats = interpolate_feats(ref_data["ray_feats"], prj_xy, h, w)
+    prj_rgb = interpolate_feats(ref_data["imgs"], prj_xy, h, w)
+    prj_img_feats = interpolate_feats(ref_data["img_feats"], prj_xy, h, w)
+
+    def rs(t):
+        return t.reshape(rfn, qn, rn, dn, -1)
+
+    return {
+        "dir": rs(prj_dir),
+        "pts": rs(prj_xy),
+        "depth": rs(prj_depth[..., None]),
+        "ray_feats": rs(prj_ray_feats),
+        "rgb": rs(prj_rgb),
+        "img_feats": rs(prj_img_feats),
+    }
+
+
+# ---------------------------------------------------------------------------
+# compositing
+# ---------------------------------------------------------------------------
+
+def alpha_values2hit_prob(alpha: Array) -> Array:
+    """alpha (qn, rn, dn) -> hit prob via transmittance cumprod
+    (reference ``render_ops.py:145-153``)."""
+    no_hit = jnp.concatenate(
+        [jnp.ones((*alpha.shape[:-1], 1), alpha.dtype),
+         1.0 - alpha + 1e-10], axis=-1)
+    return alpha * jnp.cumprod(no_hit, axis=-1)[..., :-1]
+
+
+def density2outputs(density: Array, colors: Array, que_depth: Array) -> dict:
+    """density (qn,rn,dn), colors (qn,rn,dn,3) -> composited outputs."""
+    alpha = 1.0 - jnp.exp(-jax.nn.relu(density))
+    hit_prob = alpha_values2hit_prob(alpha)
+    pixel_colors = jnp.sum(hit_prob[..., None] * colors, axis=2)
+    render_depth = jnp.sum(hit_prob * que_depth, axis=-1)
+    return {"hit_prob": hit_prob, "pixel_colors": pixel_colors,
+            "render_depth": render_depth}

@@ -1,0 +1,293 @@
+"""Generalizable spherical radiance-field renderer (NeuralRayGenRenderer).
+
+TPU-native rebuild of reference ``network/renderer.py:35-786``.  Key design
+changes versus the reference:
+
+* The per-ray-batch Python loop (``renderer.py:647-686``) is gone: ray
+  rendering is one statically-shaped jitted function over a chunk of rays;
+  full images map chunks with ``jax.lax.map`` (or shard them across a mesh,
+  see ``panogrf_tpu/parallel``).
+* The frozen mono/MVS depth stack is run OUTSIDE this module; its depth
+  enters through ``ref_data['mvs_depth']`` (see init_net docstring).
+* Everything is channel-last and static-shaped; hierarchical sampling uses
+  ``stop_gradient`` on coarse hit probabilities exactly like the reference
+  (``renderer.py:437``, ``.detach()``).
+
+Pipeline per chunk (reference call stack SURVEY §3.1):
+  sample_depth -> depth2points -> project to rfn views -> gather
+  (ray_feats, rgb, img_feats) -> logistic-mixture probs -> IBRNet/NeuRay
+  aggregation -> alpha compositing; then fine resampling and a second pass.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from panogrf_tpu.core.sphere import get_convention
+from panogrf_tpu.nn.blocks import ResUNetLight
+from panogrf_tpu.renderer import render_ops as ro
+from panogrf_tpu.renderer.agg_net import DefaultAggregationNet
+from panogrf_tpu.renderer.dist_decoder import (
+    MixtureLogisticsDistDecoder, compute_prob, get_near_far_intervals_ref,
+    get_near_far_intervals_que)
+from panogrf_tpu.renderer.init_net import CostVolumeInitNet, DefaultVisEncoder
+
+Array = jax.Array
+
+
+class NeuralRayGenRenderer(nn.Module):
+    """Generalizable renderer. See module docstring.
+
+    All reference config knobs keep their names (SURVEY §5.6) where they
+    survive: depth_sample_num, fine_depth_sample_num, use_hierarchical_
+    sampling, use_disp, fine_depth_use_all, render_depth, render_uncert.
+    """
+    convention_name: str = "m3d"
+    height: int = 512                 # render resolution
+    width: int = 1024
+    depth_hw: tuple = (256, 512)      # MVS/init-net working resolution
+    min_depth: float = 0.5            # render depth range
+    max_depth: float = 15.0
+    mvs_min_depth: float = 0.1        # init-net depth normalization range
+    mvs_max_depth: float = 10.0
+    depth_sample_num: int = 64
+    fine_depth_sample_num: int = 64
+    use_hierarchical_sampling: bool = True
+    fine_depth_use_all: bool = False
+    use_disp: bool = True
+    use_vis: bool = False             # dist-decoder vis head (config: off)
+    render_depth: bool = True
+    render_uncert: bool = False
+    use_self_hit_prob: bool = False
+    wrap: bool = True
+
+    def setup(self):
+        self.image_encoder = ResUNetLight(out_dim=32, layers=(1, 2, 6),
+                                          inplanes=16, wrap=self.wrap,
+                                          name="image_encoder")
+        self.init_net = CostVolumeInitNet(
+            depth_hw=self.depth_hw, min_depth=self.mvs_min_depth,
+            max_depth=self.mvs_max_depth, wrap=self.wrap, name="init_net")
+        self.vis_encoder = DefaultVisEncoder(wrap=self.wrap,
+                                             name="vis_encoder")
+        self.dist_decoder = MixtureLogisticsDistDecoder(
+            use_vis=self.use_vis, name="dist_decoder")
+        self.agg_net = DefaultAggregationNet(
+            n_samples=self.depth_sample_num, name="agg_net")
+        if self.use_hierarchical_sampling:
+            self.fine_dist_decoder = MixtureLogisticsDistDecoder(
+                use_vis=self.use_vis, name="fine_dist_decoder")
+            self.fine_agg_net = DefaultAggregationNet(
+                n_samples=self.fine_depth_sample_num, name="fine_agg_net")
+
+    @property
+    def convention(self):
+        return get_convention(self.convention_name)
+
+    # ------------------------------------------------------------------
+    # per-scene encoding
+    # ------------------------------------------------------------------
+
+    def prepare_ref(self, ref_imgs: Array, mvs_depth: Array) -> dict:
+        """Encode reference views once per scene.
+
+        :param ref_imgs: (rfn, H, W, 3); :param mvs_depth: (rfn, dh, dw, 1).
+        :return: dict with imgs, img_feats, ray_feats (all channel-last).
+        """
+        img_feats = self.image_encoder(ref_imgs)
+        ray_feats0 = self.init_net(ref_imgs, mvs_depth)
+        ray_feats = self.vis_encoder(ray_feats0, img_feats)
+        return {"imgs": ref_imgs, "img_feats": img_feats,
+                "ray_feats": ray_feats, "mvs_depth": mvs_depth}
+
+    # ------------------------------------------------------------------
+    # core pass
+    # ------------------------------------------------------------------
+
+    def render_by_depth(self, que_depth: Array, coords: Array, que_c2w: Array,
+                        que_depth_range: Array, ref_data: dict,
+                        ref_depth_range: Array, is_fine: bool) -> dict:
+        """One rendering pass at given sample depths.
+
+        Reference ``renderer.py:223-317``.
+        :param que_depth: (qn, rn, dn); coords (qn, rn, 2); que_c2w (3, 4).
+        """
+        conv = self.convention
+        que_dists = ro.depth2inv_dists(que_depth, que_depth_range)
+        directions = conv.ray_directions(self.height, self.width)
+        que_pts, que_dir = ro.depth2points_spherical(coords, que_depth,
+                                                     que_c2w, directions)
+        prj = ro.project_points_dict(ref_data, que_pts, conv)
+
+        decoder = self.fine_dist_decoder if is_fine else self.dist_decoder
+        mean, var, vis, aw = decoder(prj["ray_feats"])
+        near, far = get_near_far_intervals_ref(
+            prj["depth"][..., 0], que_dists[None], ref_depth_range)
+        alpha, visibility, hit_prob = compute_prob(
+            near, far, mean, var, vis, aw, self.use_vis)
+        prj["alpha"] = alpha[..., None]
+        prj["vis"] = visibility[..., None]
+        prj["hit_prob"] = hit_prob[..., None]
+
+        agg = self.fine_agg_net if is_fine else self.agg_net
+        density, colors = agg(prj, que_dir)
+        comp = ro.density2outputs(density, colors, que_depth)
+
+        outputs = {
+            "pixel_colors_nr": comp["pixel_colors"],
+            "hit_prob_nr": comp["hit_prob"],
+            "colors_nr": colors,
+            "density_nr": density,
+            "que_depth": que_depth,
+        }
+        if self.render_depth:
+            outputs["render_depth"] = comp["render_depth"]
+        if self.render_uncert:
+            d = comp["render_depth"][..., None]
+            outputs["render_uncert"] = jnp.sum(
+                (que_depth - d) ** 2 * comp["hit_prob"], axis=-1) + 1e-5
+        return outputs
+
+    def predict_self_hit_prob(self, que_ray_feats: Array, que_depth: Array,
+                              que_dists: Array, que_depth_range: Array,
+                              is_fine: bool) -> Array:
+        """Query-view self hit-prob for the consistency loss (reference
+        ``renderer.py:190-208``)."""
+        decoder = self.fine_dist_decoder if is_fine else self.dist_decoder
+        mean, var, vis, aw = decoder(que_ray_feats)
+        near, far = get_near_far_intervals_que(que_depth, que_dists,
+                                               que_depth_range)
+        _, _, hit = compute_prob(near, far, mean[:, :, None], var[:, :, None],
+                                 None if vis is None else vis[:, :, None],
+                                 aw[:, :, None], self.use_vis)
+        return hit
+
+    # ------------------------------------------------------------------
+    # coarse + fine
+    # ------------------------------------------------------------------
+
+    def render_rays(self, ref_data: dict, coords: Array, que_c2w: Array,
+                    que_depth_range: Array, ref_depth_range: Array,
+                    rng: Optional[jax.Array] = None) -> dict:
+        """Full coarse(+fine) rendering of a chunk of rays.
+
+        Reference ``render_impl`` (``renderer.py:567-633``).
+        ``rng`` enables stochastic (training) sampling.
+        """
+        qn, rn, _ = coords.shape
+        r_coarse = r_fine = None
+        if rng is not None:
+            r_coarse, r_fine = jax.random.split(rng)
+
+        que_depth, _ = ro.sample_depth(qn, rn, self.depth_sample_num,
+                                       self.min_depth, self.max_depth,
+                                       self.use_disp, r_coarse)
+        outputs = self.render_by_depth(que_depth, coords, que_c2w,
+                                       que_depth_range, ref_data,
+                                       ref_depth_range, is_fine=False)
+
+        if self.use_hierarchical_sampling:
+            hit = jax.lax.stop_gradient(outputs["hit_prob_nr"])
+            fine_depth = ro.sample_fine_depth(
+                que_depth, hit, que_depth_range, self.fine_depth_sample_num,
+                r_fine, inv_mode=self.use_disp)
+            if self.fine_depth_use_all:
+                fine_depth = jnp.concatenate([que_depth, fine_depth], -1)
+            fine_depth = jnp.sort(fine_depth, axis=-1)
+            fine_out = self.render_by_depth(fine_depth, coords, que_c2w,
+                                            que_depth_range, ref_data,
+                                            ref_depth_range, is_fine=True)
+            for k, v in fine_out.items():
+                outputs[k + "_fine"] = v
+        return outputs
+
+    # ------------------------------------------------------------------
+    # depth-loss head
+    # ------------------------------------------------------------------
+
+    def predict_mean_for_depth_loss(self, ray_feats: Array,
+                                    coords: Array) -> dict:
+        """Expected depth decoded from ray features at sampled coords.
+
+        Reference ``renderer.py:731-775``: interpolate ray features at
+        (rfn, pn, 2) full-res coords, decode the first mixture mean.
+        """
+        from panogrf_tpu.ops.resample import interpolate_feats
+        feats = interpolate_feats(ray_feats, coords, self.height, self.width)
+        mean = self.dist_decoder.predict_mean(feats)
+        out = {"depth_mean": mean[..., 0], "depth_mean_2": mean[..., 1]}
+        if self.use_hierarchical_sampling:
+            mean_f = self.fine_dist_decoder.predict_mean(feats)
+            out["depth_mean_fine"] = mean_f[..., 0]
+            out["depth_mean_fine_2"] = mean_f[..., 1]
+        return out
+
+    # ------------------------------------------------------------------
+    # reference-compatible entry point
+    # ------------------------------------------------------------------
+
+    def __call__(self, data: Dict[str, Any],
+                 rng: Optional[jax.Array] = None) -> dict:
+        """Train-step style forward (reference ``renderer.py:777-786``).
+
+        ``data`` keys:
+          ref_imgs_info: imgs (rfn,H,W,3), mvs_depth (rfn,dh,dw,1),
+              depth_range (rfn,2), true_depth (optional).
+          que_imgs_info: coords (qn,rn,2), c2w (3,4), depth_range (qn,2),
+              optional imgs / ray-feat consistency inputs.
+        """
+        ref_info = data["ref_imgs_info"]
+        que_info = data["que_imgs_info"]
+        ref_data = self.prepare_ref(ref_info["imgs"], ref_info["mvs_depth"])
+        ref_data["w2c"] = ref_info["w2c"]
+        outputs = self.render_rays(ref_data, que_info["coords"],
+                                   que_info["c2w"], que_info["depth_range"],
+                                   ref_info["depth_range"], rng)
+
+        if self.use_self_hit_prob and "imgs" in que_info and \
+                "mvs_depth" in que_info:
+            que_enc = self.prepare_ref(que_info["imgs"],
+                                       que_info["mvs_depth"])
+            from panogrf_tpu.ops.resample import interpolate_feats
+            que_ray_feats = interpolate_feats(
+                que_enc["ray_feats"], que_info["coords"], self.height,
+                self.width)
+            que_dists = ro.depth2inv_dists(outputs["que_depth"],
+                                           que_info["depth_range"])
+            outputs["hit_prob_self"] = self.predict_self_hit_prob(
+                que_ray_feats, outputs["que_depth"], que_dists,
+                que_info["depth_range"], is_fine=False)
+            if self.use_hierarchical_sampling:
+                que_dists_f = ro.depth2inv_dists(
+                    outputs["que_depth_fine"], que_info["depth_range"])
+                outputs["hit_prob_self_fine"] = self.predict_self_hit_prob(
+                    que_ray_feats, outputs["que_depth_fine"], que_dists_f,
+                    que_info["depth_range"], is_fine=True)
+
+        if "imgs" in que_info:
+            gt = ro.gather_at_coords_batched(que_info["imgs"],
+                                             que_info["coords"])
+            outputs["pixel_colors_gt"] = gt
+            if self.use_hierarchical_sampling:
+                outputs["pixel_colors_gt_fine"] = gt
+
+        # ray_mask: all projections valid on the sphere (reference
+        # ``renderer.py:291-298`` builds it from an all-ones mask).
+        qn, rn, _ = que_info["coords"].shape
+        outputs["ray_mask"] = jnp.ones((qn, rn), bool)
+
+        if "true_depth" in ref_info:
+            rfn = ref_info["imgs"].shape[0]
+            depth_coords = data.get("depth_coords")
+            if depth_coords is None:
+                depth_coords = jnp.broadcast_to(
+                    que_info["coords"][0][None],
+                    (rfn, *que_info["coords"].shape[1:]))
+            outputs["depth_coords"] = depth_coords
+            outputs.update(self.predict_mean_for_depth_loss(
+                ref_data["ray_feats"], depth_coords))
+        return outputs

@@ -1,0 +1,158 @@
+"""Step-based trainer (optax + orbax), reference ``train/trainer.py:33-477``.
+
+Differences by design:
+* one jitted train_step closing over the model apply + loss registry (the
+  reference's eager loop with ``.backward()`` becomes a pure function),
+* checkpoints via orbax (reference: single ``model.pth`` torch dict),
+* deterministic seeding from cfg (reference seeds 2022,
+  ``trainer.py:275-277``),
+* optional data-parallel step over a mesh (see panogrf_tpu/parallel).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from pathlib import Path
+from typing import Any, Callable, Dict, Iterable, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from panogrf_tpu.train.losses import NAME2LOSS, total_loss
+from panogrf_tpu.train.lr import NAME2LR
+
+Array = jax.Array
+
+
+class TrainState(struct.PyTreeNode):
+    step: Array
+    params: Any
+    opt_state: Any
+    extra: Any = None          # e.g. batch_stats
+
+
+@dataclasses.dataclass
+class TrainerConfig:
+    name: str = "run"
+    total_step: int = 100000
+    val_interval: int = 10000
+    save_interval: int = 20000
+    lr_type: str = "exp_decay"
+    lr_cfg: dict = dataclasses.field(default_factory=lambda: {
+        "lr_init": 4e-4, "decay_step": 20000, "decay_rate": 0.5})
+    losses: tuple = ("render",)
+    loss_kwargs: dict = dataclasses.field(default_factory=dict)
+    grad_clip: Optional[float] = None
+    seed: int = 2022
+    save_dir: str = "data/model"
+    log_interval: int = 100
+
+
+def make_optimizer(cfg: TrainerConfig):
+    schedule = NAME2LR[cfg.lr_type](**cfg.lr_cfg)
+    tx = optax.adam(schedule)
+    if cfg.grad_clip:
+        tx = optax.chain(optax.clip_by_global_norm(cfg.grad_clip), tx)
+    return tx, schedule
+
+
+def make_train_step(apply_fn: Callable, cfg: TrainerConfig, tx) -> Callable:
+    """Build the jitted (state, batch, rng) -> (state, metrics) step.
+
+    ``apply_fn(params, batch, rng)`` must return the renderer/depth output
+    dict; losses come from the registry and are summed like the reference
+    (every '*loss*' key, ``trainer.py:376-394``).
+    """
+    loss_fns = [(n, NAME2LOSS[n], cfg.loss_kwargs.get(n, {}))
+                for n in cfg.losses]
+
+    def loss_fn(params, batch, rng):
+        out = apply_fn(params, batch, rng)
+        terms = {}
+        for name, fn, kw in loss_fns:
+            terms.update(fn(out, batch, 0, **kw))
+        loss = total_loss(terms)
+        return loss, terms
+
+    @jax.jit
+    def train_step(state: TrainState, batch, rng):
+        (loss, terms), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, batch, rng)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        metrics = {"loss": loss}
+        metrics.update({k: jnp.mean(v) for k, v in terms.items()})
+        return state.replace(step=state.step + 1, params=params,
+                             opt_state=opt_state), metrics
+
+    return train_step
+
+
+class Trainer:
+    """Minimal step-loop driver.
+
+    :param apply_fn: (params, batch, rng) -> output dict.
+    :param init_params: initial model params pytree.
+    :param cfg: TrainerConfig.
+    :param val_fn: optional (params, step) -> dict of scalar metrics.
+    """
+
+    def __init__(self, apply_fn: Callable, init_params: Any,
+                 cfg: TrainerConfig, val_fn: Optional[Callable] = None,
+                 log_fn: Optional[Callable] = None):
+        self.cfg = cfg
+        self.apply_fn = apply_fn
+        self.val_fn = val_fn
+        self.log_fn = log_fn or (lambda step, m: None)
+        self.tx, self.schedule = make_optimizer(cfg)
+        self.state = TrainState(step=jnp.zeros((), jnp.int32),
+                                params=init_params,
+                                opt_state=self.tx.init(init_params))
+        self.train_step = make_train_step(apply_fn, cfg, self.tx)
+        self.best_metric = -float("inf")
+        self._ckpt_dir = Path(cfg.save_dir) / cfg.name
+
+    # -- checkpointing (orbax) -------------------------------------------
+
+    def save(self, tag: str = "latest"):
+        import orbax.checkpoint as ocp
+        path = (self._ckpt_dir / tag).absolute()
+        ckptr = ocp.StandardCheckpointer()
+        ckptr.save(path, self.state.params, force=True)
+        ckptr.wait_until_finished()
+
+    def restore(self, tag: str = "latest"):
+        import orbax.checkpoint as ocp
+        path = (self._ckpt_dir / tag).absolute()
+        ckptr = ocp.StandardCheckpointer()
+        params = ckptr.restore(path, self.state.params)
+        self.state = self.state.replace(params=params)
+
+    # -- loop --------------------------------------------------------------
+
+    def fit(self, data_iter: Iterable, num_steps: Optional[int] = None,
+            key_metric: str = "psnr_nr") -> Dict[str, float]:
+        rng = jax.random.PRNGKey(self.cfg.seed)
+        num_steps = num_steps or self.cfg.total_step
+        last_metrics: Dict[str, float] = {}
+        for i, batch in enumerate(data_iter):
+            if i >= num_steps:
+                break
+            rng, sub = jax.random.split(rng)
+            self.state, metrics = self.train_step(self.state, batch, sub)
+            step = int(self.state.step)
+            if step % self.cfg.log_interval == 0 or i == 0:
+                last_metrics = {k: float(v) for k, v in metrics.items()}
+                self.log_fn(step, last_metrics)
+            if self.val_fn and step % self.cfg.val_interval == 0:
+                vm = self.val_fn(self.state.params, step)
+                self.log_fn(step, vm)
+                if vm.get(key_metric, -float("inf")) > self.best_metric:
+                    self.best_metric = vm[key_metric]
+                    self.save("best")
+            if step % self.cfg.save_interval == 0:
+                self.save("latest")
+        return last_metrics

@@ -1,20 +1,16 @@
 """Test harness: force an 8-device virtual CPU mesh.
 
-Tests must run on CPU (the CI box may have no TPU) and must be able to
-exercise real multi-chip sharding; we emulate 8 devices with XLA's host
-platform device-count flag. This must be set before jax initializes.
+On this box the `axon` TPU plugin overrides the JAX_PLATFORMS env var (the
+shell exports JAX_PLATFORMS=axon and the plugin rewrites the flag to
+"axon,cpu"), so env vars are NOT enough — we must set the config flags
+before the backend initializes.  Tests must run on CPU: the single TPU is
+reached through a tunnel and concurrent clients deadlock on it.
 """
 
-import os
+import jax
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8").strip()
-
-import jax  # noqa: E402
-
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 jax.config.update("jax_default_matmul_precision", "float32")
 
 import numpy as np  # noqa: E402

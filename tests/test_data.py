@@ -1,0 +1,83 @@
+"""Synthetic scene generator + imgs_info schema tests.
+
+Includes the 'GT-depth debug renderer' style consistency check mirroring
+the reference's ``debug`` flag (SURVEY §4): warping view A into view B
+using GT depth must reproduce view B where geometry is unoccluded.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from panogrf_tpu.core import sphere
+from panogrf_tpu.data import synthetic, imgs_info
+from panogrf_tpu.ops.resample import bilinear_sample
+
+H, W = 64, 128
+
+
+def test_render_panorama_shapes_and_depth():
+    scene = synthetic.SphereScene.random(0)
+    rgb, depth = jax.jit(lambda: synthetic.render_panorama(
+        scene, jnp.zeros(3), jnp.eye(3), H, W))()
+    assert rgb.shape == (H, W, 3) and depth.shape == (H, W, 1)
+    d = np.asarray(depth)
+    assert (d > 0).all() and (d <= scene.room_radius + 1e-3).all()
+    assert np.asarray(rgb).min() >= 0 and np.asarray(rgb).max() <= 1
+
+
+def test_three_view_sample_protocol():
+    scene = synthetic.SphereScene.random(1)
+    s = synthetic.make_three_view_sample(scene, H, W, m3d_dist=0.4, seed=3)
+    assert s["rgb_panos"].shape == (3, H, W, 3)
+    assert s["rots"].shape == (3, 3, 3) and s["trans"].shape == (3, 3)
+    # camera centers: -R^T t; spacing along the shared z axis = m3d_dist
+    centers = [-np.asarray(r).T @ np.asarray(t)
+               for r, t in zip(s["rots"], s["trans"])]
+    d01 = np.linalg.norm(centers[1] - centers[0])
+    d12 = np.linalg.norm(centers[2] - centers[1])
+    np.testing.assert_allclose([d01, d12], 0.4, atol=1e-5)
+
+
+def test_gt_depth_cross_view_warp():
+    """Reference 'debug renderer': GT-depth warp view0 -> view1 must match."""
+    conv = sphere.M3D
+    scene = synthetic.SphereScene.random(2)
+    s = synthetic.make_three_view_sample(scene, H, W, m3d_dist=0.3, seed=4)
+
+    w2c = imgs_info.pose_w2c(s["rots"], s["trans"])
+    c2w = imgs_info.c2w_from_w2c(w2c)
+    # Lift view1 pixels to world points with GT depth.
+    dirs = conv.ray_directions(H, W)
+    d1 = s["depth_panos"][1][..., 0]
+    rot1, t1 = c2w[1, :, :3], c2w[1, :, 3]
+    pts_w = t1 + jnp.einsum("ij,hwj->hwi", rot1, dirs) * d1[..., None]
+    # Project into view 0 and sample its image.
+    cam0 = jnp.einsum("ij,hwj->hwi", w2c[0, :, :3], pts_w) + w2c[0, :, 3]
+    xy0, dist0 = conv.project_to_pixels(cam0, H, W)
+    warped = bilinear_sample(s["rgb_panos"][0], xy0)
+    # Occlusion-free mask: projected distance close to view0's own depth.
+    d0_at = bilinear_sample(s["depth_panos"][0], xy0)[..., 0]
+    visible = np.asarray(jnp.abs(d0_at - dist0) < 0.05)
+    err = np.asarray(jnp.abs(warped - s["rgb_panos"][1]))[4:-4]
+    vis = visible[4:-4]
+    mean_err = (err.mean(-1) * vis).sum() / vis.sum()
+    assert vis.mean() > 0.5          # most of the pano is co-visible
+    assert mean_err < 0.03, mean_err  # photoconsistent where visible
+
+
+def test_build_render_sample_schema():
+    scene = synthetic.SphereScene.random(3)
+    s = synthetic.make_three_view_sample(scene, H, W, seed=5)
+    rng = np.random.default_rng(0)
+    coords = imgs_info.sample_train_coords(rng, H, W, 64)
+    data = imgs_info.build_render_sample(s, coords)
+    ref = data["ref_imgs_info"]
+    assert ref["imgs"].shape == (2, H, W, 3)
+    assert ref["w2c"].shape == (2, 3, 4)
+    assert data["que_imgs_info"]["coords"].shape == (1, 64, 2)
+    assert data["que_imgs_info"]["c2w"].shape == (3, 4)
+    assert data["src_imgs_info"]["imgs"].shape == (2, H, W, 3)
+    # srcs are the opposite refs
+    np.testing.assert_allclose(np.asarray(data["src_imgs_info"]["imgs"][0]),
+                               np.asarray(s["rgb_panos"][2]))

@@ -1,0 +1,133 @@
+"""Renderer core tests: sampling ops, decoders, full gen-renderer forward."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from panogrf_tpu.renderer import render_ops as ro
+from panogrf_tpu.renderer.renderer import NeuralRayGenRenderer
+
+H, W = 32, 64
+DH, DW = 16, 32
+
+
+def test_sample_depth_disparity_monotone():
+    depth, dists = ro.sample_depth(1, 4, 16, 0.5, 15.0, use_disp=True)
+    d = np.asarray(depth)
+    assert d.shape == (1, 4, 16)
+    assert np.all(np.diff(d, axis=-1) > 0)
+    np.testing.assert_allclose(d[..., 0], 0.5, atol=1e-5)
+    np.testing.assert_allclose(d[..., -1], 15.0, rtol=1e-5)
+
+
+def test_sample_depth_stochastic_in_bounds():
+    rng = jax.random.PRNGKey(0)
+    depth, _ = ro.sample_depth(1, 64, 16, 0.5, 15.0, True, rng)
+    d = np.asarray(depth)
+    assert d.min() >= 0.5 - 1e-5 and d.max() <= 15.0 + 1e-4
+    assert np.all(np.diff(d, axis=-1) > -1e-6)
+
+
+def test_alpha_hit_prob_sums_below_one():
+    alpha = jnp.asarray(np.random.default_rng(0).uniform(
+        0, 1, size=(1, 8, 16)), jnp.float32)
+    hp = np.asarray(ro.alpha_values2hit_prob(alpha))
+    assert (hp >= 0).all()
+    assert (hp.sum(-1) <= 1.0 + 1e-4).all()
+    # Opaque first sample takes all probability.
+    alpha2 = jnp.zeros((1, 1, 4)).at[0, 0, 0].set(1.0)
+    hp2 = np.asarray(ro.alpha_values2hit_prob(alpha2))
+    np.testing.assert_allclose(hp2[0, 0], [1, 0, 0, 0], atol=1e-6)
+
+
+def test_sample_fine_depth_concentrates():
+    """Fine samples should concentrate where coarse hit_prob peaks."""
+    qn, rn, dn = 1, 4, 16
+    depth, _ = ro.sample_depth(qn, rn, dn, 0.5, 15.0, use_disp=True)
+    hit = jnp.zeros((qn, rn, dn)).at[..., 8].set(1.0)
+    depth_range = jnp.asarray([[0.5, 15.0]])
+    fine = ro.sample_fine_depth(depth, hit, depth_range, 32, None)
+    f = np.asarray(fine)
+    target = np.asarray(depth[..., 8])
+    lo = np.asarray(depth[..., 7])
+    hi = np.asarray(depth[..., 9])
+    frac_near = ((f >= lo[..., None]) & (f <= hi[..., None])).mean()
+    assert frac_near > 0.9, frac_near
+
+
+def _make_data(rfn=2, qn=1, rn=16):
+    rng = np.random.default_rng(5)
+    ref_imgs = jnp.asarray(rng.uniform(size=(rfn, H, W, 3)), jnp.float32)
+    mvs_depth = jnp.asarray(rng.uniform(1.0, 5.0, size=(rfn, DH, DW, 1)),
+                            jnp.float32)
+    coords = jnp.stack(
+        [jnp.asarray(rng.integers(0, W, size=(qn, rn)), jnp.float32),
+         jnp.asarray(rng.integers(0, H, size=(qn, rn)), jnp.float32)],
+        axis=-1)
+    c2w = jnp.concatenate([jnp.eye(3), jnp.asarray([[0.1], [0.0], [0.2]])], 1)
+    data = {
+        "ref_imgs_info": {
+            "imgs": ref_imgs,
+            "mvs_depth": mvs_depth,
+            "depth_range": jnp.asarray([[0.5, 15.0]] * rfn),
+            "w2c": jnp.broadcast_to(
+                jnp.concatenate([jnp.eye(3), jnp.zeros((3, 1))], 1),
+                (rfn, 3, 4)).at[1, 2, 3].set(0.5),
+        },
+        "que_imgs_info": {
+            "coords": coords,
+            "c2w": c2w,
+            "depth_range": jnp.asarray([[0.5, 15.0]] * qn),
+            "imgs": jnp.asarray(rng.uniform(size=(qn, H, W, 3)), jnp.float32),
+        },
+    }
+    return data
+
+
+def _ref_data_from(data, renderer_out_ray_feats):
+    pass
+
+
+def test_gen_renderer_forward_and_grad():
+    model = NeuralRayGenRenderer(
+        height=H, width=W, depth_hw=(DH, DW), depth_sample_num=8,
+        fine_depth_sample_num=8, render_uncert=True)
+    data = _make_data()
+    # ref_data for project_points_dict needs w2c inside ref info
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), data)
+    out = jax.jit(model.apply)(variables, data)
+    qn, rn = 1, 16
+    assert out["pixel_colors_nr"].shape == (qn, rn, 3)
+    assert out["pixel_colors_nr_fine"].shape == (qn, rn, 3)
+    assert out["hit_prob_nr"].shape == (qn, rn, 8)
+    assert out["render_depth"].shape == (qn, rn)
+    assert out["render_uncert_fine"].shape == (qn, rn)
+    assert out["pixel_colors_gt"].shape == (qn, rn, 3)
+    for k, v in out.items():
+        assert np.isfinite(np.asarray(v)).all(), k
+
+    def loss_fn(params):
+        o = model.apply(params, data, rng=jax.random.PRNGKey(1))
+        return jnp.mean((o["pixel_colors_nr_fine"]
+                         - o["pixel_colors_gt"]) ** 2)
+
+    g = jax.jit(jax.grad(loss_fn))(variables)
+    leaves = jax.tree.leaves(g)
+    assert all(bool(jnp.isfinite(l).all()) for l in leaves)
+    # Gradients reach the image encoder and both agg nets.
+    flat = jax.tree_util.tree_flatten_with_path(g)[0]
+    nonzero = {jax.tree_util.keystr(k[:2]) for k, v in flat
+               if float(jnp.abs(v).max()) > 0}
+    assert any("image_encoder" in s for s in nonzero)
+    assert any("fine_agg_net" in s for s in nonzero)
+
+
+def test_depth_loss_head():
+    model = NeuralRayGenRenderer(height=H, width=W, depth_hw=(DH, DW),
+                                 depth_sample_num=8, fine_depth_sample_num=8)
+    data = _make_data()
+    data["ref_imgs_info"]["true_depth"] = jnp.ones((2, H, W, 1))
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), data)
+    out = jax.jit(model.apply)(variables, data)
+    assert "depth_mean" in out and "depth_mean_fine" in out
+    assert out["depth_mean"].shape[0] == 2  # rfn

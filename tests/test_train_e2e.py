@@ -1,0 +1,64 @@
+"""End-to-end training smoke: renderer loss decreases on synthetic scenes.
+
+This is the integration test the reference never had (SURVEY §4): a full
+Trainer step loop over procedurally generated, photo-consistent panoramas,
+checking the optimization actually makes progress.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from panogrf_tpu.data import synthetic, imgs_info
+from panogrf_tpu.renderer.renderer import NeuralRayGenRenderer
+from panogrf_tpu.train.trainer import Trainer, TrainerConfig
+
+H, W = 32, 64
+DH, DW = 16, 32
+
+
+def _data_stream(n, rn=64, seed0=0):
+    scene = synthetic.SphereScene.random(7)
+    samples = []
+    rng = np.random.default_rng(11)
+    # Two fixed samples re-used round-robin: keeps compile count at 1 and
+    # lets the model overfit quickly.
+    for seed in range(2):
+        s = synthetic.make_three_view_sample(scene, H, W, m3d_dist=0.3,
+                                             seed=seed)
+        coords = imgs_info.sample_train_coords(rng, H, W, rn)
+        data = imgs_info.build_render_sample(s, coords,
+                                             render_depth_range=(0.5, 15.0))
+        # use GT depth as the (frozen) 'mvs depth' input at depth res
+        d = s["depth_panos"][jnp.asarray(imgs_info.REF_IDS)]
+        data["ref_imgs_info"]["mvs_depth"] = jax.image.resize(
+            d, (2, DH, DW, 1), "bilinear")
+        samples.append(data)
+    for i in range(n):
+        yield samples[i % 2]
+
+
+@pytest.mark.slow
+def test_renderer_training_reduces_loss():
+    model = NeuralRayGenRenderer(height=H, width=W, depth_hw=(DH, DW),
+                                 depth_sample_num=8, fine_depth_sample_num=8)
+    first = next(_data_stream(1))
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), first)
+
+    cfg = TrainerConfig(total_step=60, val_interval=10**9,
+                        save_interval=10**9, losses=("render",),
+                        log_interval=10,
+                        lr_cfg={"lr_init": 5e-4, "decay_step": 10**9,
+                                "decay_rate": 0.5})
+
+    def apply_fn(p, batch, rng):
+        return model.apply(p, batch, rng=rng)
+
+    logs = []
+    trainer = Trainer(apply_fn, params, cfg,
+                      log_fn=lambda s, m: logs.append((s, m)))
+    trainer.fit(_data_stream(60))
+    first_loss = logs[0][1]["loss"]
+    last_loss = logs[-1][1]["loss"]
+    assert last_loss < first_loss * 0.8, (first_loss, last_loss)

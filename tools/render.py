@@ -1,0 +1,112 @@
+"""Render novel panoramas + metrics (reference ``render.py`` + ``eval.py``).
+
+Renders the query view of held-out synthetic (or shard) samples with a
+trained renderer checkpoint, writes pred/gt images, and prints
+PSNR / SSIM / WS-PSNR — the reference's metric stack (``eval.py:22-31``)
+minus LPIPS (no pretrained VGG in this image; see train/metrics.py).
+
+Usage:
+  python tools/render.py --ckpt data/model/run/latest --num 4 \
+      [--height 256 --width 512] [--out data/render_out]
+"""
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def save_image(path: Path, img) -> None:
+    arr = np.asarray(np.clip(np.asarray(img) * 255.0, 0, 255), np.uint8)
+    try:
+        import imageio.v2 as imageio
+        imageio.imwrite(path, arr)
+    except Exception:
+        np.save(path.with_suffix(".npy"), arr)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--ckpt", default=None)
+    ap.add_argument("--num", type=int, default=2)
+    ap.add_argument("--height", type=int, default=256)
+    ap.add_argument("--width", type=int, default=512)
+    ap.add_argument("--depth-height", type=int, default=128)
+    ap.add_argument("--depth-width", type=int, default=256)
+    ap.add_argument("--m3d-dist", type=float, default=0.5)
+    ap.add_argument("--out", default="data/render_out")
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args()
+
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+    import jax
+    import jax.numpy as jnp
+
+    from panogrf_tpu.data import imgs_info
+    from panogrf_tpu.data.synthetic import (SphereScene,
+                                            make_three_view_sample)
+    from panogrf_tpu.nn.blocks import resize_linear
+    from panogrf_tpu.renderer.renderer import NeuralRayGenRenderer
+    from panogrf_tpu.renderer import full_render
+    from panogrf_tpu.train import metrics as M
+
+    H, W = args.height, args.width
+    DH, DW = args.depth_height, args.depth_width
+    model = NeuralRayGenRenderer(height=H, width=W, depth_hw=(DH, DW))
+
+    out_dir = Path(args.out)
+    out_dir.mkdir(parents=True, exist_ok=True)
+
+    # one sample to init/restore params
+    scene = SphereScene.random(1234)
+    s = make_three_view_sample(scene, H, W, args.m3d_dist, seed=0)
+    coords = imgs_info.sample_train_coords(np.random.default_rng(0), H, W, 8)
+    data0 = imgs_info.build_render_sample(s, coords)
+    data0["ref_imgs_info"]["mvs_depth"] = resize_linear(
+        s["depth_panos"][jnp.asarray(imgs_info.REF_IDS)], (DH, DW),
+        axes=(1, 2))
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), data0)
+    if args.ckpt:
+        import orbax.checkpoint as ocp
+        params = ocp.StandardCheckpointer().restore(
+            Path(args.ckpt).absolute(), params)
+        print(f"restored {args.ckpt}")
+
+    all_m = []
+    for qi in range(args.num):
+        scene = SphereScene.random(9000 + qi)
+        s = make_three_view_sample(scene, H, W, args.m3d_dist, seed=100 + qi)
+        data = imgs_info.build_render_sample(s, coords)
+        ref_info = data["ref_imgs_info"]
+        ref_info["mvs_depth"] = resize_linear(
+            s["depth_panos"][jnp.asarray(imgs_info.REF_IDS)], (DH, DW),
+            axes=(1, 2))
+        t0 = time.perf_counter()
+        out = full_render.render_image(
+            model, params, ref_info, data["que_imgs_info"]["c2w"],
+            data["que_imgs_info"]["depth_range"],
+            chunk=min(8192, H * W))
+        jax.block_until_ready(out["rgb"])
+        dt = time.perf_counter() - t0
+        gt = s["rgb_panos"][imgs_info.QUE_ID]
+        m = {k: float(v) for k, v in M.render_metrics(out["rgb"], gt).items()}
+        m["sec_per_frame"] = dt
+        all_m.append(m)
+        save_image(out_dir / f"{qi}-nr_fine.png", out["rgb"])
+        save_image(out_dir / f"{qi}-gt.png", gt)
+        print(f"[{qi}] " + " ".join(f"{k}={v:.3f}" for k, v in m.items()))
+
+    mean = {k: float(np.mean([m[k] for m in all_m])) for k in all_m[0]}
+    (out_dir / "metric.txt").write_text(json.dumps(mean, indent=2))
+    print("mean:", json.dumps(mean))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,117 @@
+"""Train the generalizable renderer (reference ``run_training.py``).
+
+Usage:
+  python tools/train_renderer.py --cfg configs/gen_synthetic_small.yaml \
+      [--shards data/shards_train] [--steps 1000]
+
+The frozen mono+MVS depth stack runs outside the optimized step; with
+``--gt-depth`` (or no depth checkpoints configured) the GT depth from the
+data stream stands in for MVS depth, which is the right setup for the
+synthetic data path and for debugging (reference `debug` flag semantics).
+"""
+
+import argparse
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cfg", default=None)
+    ap.add_argument("--shards", default=None)
+    ap.add_argument("--steps", type=int, default=None)
+    ap.add_argument("--gt-depth", action="store_true", default=True)
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args()
+
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+    import jax
+    import jax.numpy as jnp
+
+    from panogrf_tpu.config import load_config
+    from panogrf_tpu.data import imgs_info
+    from panogrf_tpu.data.shards import ShardReader
+    from panogrf_tpu.data.synthetic import (SphereScene,
+                                            make_three_view_sample)
+    from panogrf_tpu.nn.blocks import resize_linear
+    from panogrf_tpu.renderer.renderer import NeuralRayGenRenderer
+    from panogrf_tpu.train.trainer import Trainer, TrainerConfig
+
+    cfg = load_config(args.cfg)
+    R = cfg.renderer
+    H, W = R.height, R.width
+    DH, DW = cfg.mvs.depth_height, cfg.mvs.depth_width
+
+    model = NeuralRayGenRenderer(
+        height=H, width=W, depth_hw=(DH, DW), min_depth=R.min_depth,
+        max_depth=R.max_depth, mvs_min_depth=cfg.mvs.mvs_min_depth,
+        mvs_max_depth=cfg.mvs.mvs_max_depth,
+        depth_sample_num=R.depth_sample_num,
+        fine_depth_sample_num=R.fine_depth_sample_num,
+        use_hierarchical_sampling=R.use_hierarchical_sampling,
+        use_disp=R.use_disp, use_self_hit_prob=R.use_self_hit_prob)
+
+    rng = np.random.default_rng(cfg.train.seed)
+    reader = ShardReader(args.shards) if args.shards else None
+
+    def batches():
+        i = 0
+        while True:
+            if reader is not None:
+                s = {k: jnp.asarray(v) for k, v in
+                     reader[int(rng.integers(len(reader)))].items()}
+            else:
+                scene = SphereScene.random(int(rng.integers(1 << 30)))
+                s = make_three_view_sample(scene, H, W, cfg.data.m3d_dist,
+                                           seed=i)
+            coords = imgs_info.sample_train_coords(rng, H, W, 512)
+            data = imgs_info.build_render_sample(
+                s, coords, (R.min_depth, R.max_depth))
+            d = s["depth_panos"][jnp.asarray(imgs_info.REF_IDS)]
+            data["ref_imgs_info"]["mvs_depth"] = resize_linear(
+                d, (DH, DW), axes=(1, 2))
+            data.pop("src_imgs_info", None)
+            i += 1
+            yield data
+
+    stream = batches()
+    first = next(stream)
+    params = jax.jit(model.init)(jax.random.PRNGKey(cfg.train.seed), first)
+    n_params = sum(x.size for x in jax.tree.leaves(params))
+    print(f"renderer params: {n_params/1e6:.2f}M")
+
+    tc = TrainerConfig(
+        name=cfg.train.name, total_step=args.steps or cfg.train.total_step,
+        val_interval=cfg.train.val_interval,
+        save_interval=cfg.train.save_interval, lr_type=cfg.train.lr_type,
+        lr_cfg={"lr_init": cfg.train.lr_init,
+                "decay_step": cfg.train.decay_step,
+                "decay_rate": cfg.train.decay_rate},
+        losses=tuple(l for l in cfg.train.loss
+                     if l in ("render", "depth", "consistency")),
+        seed=cfg.train.seed, save_dir=cfg.train.save_dir)
+
+    def apply_fn(p, batch, rng_):
+        return model.apply(p, batch, rng=rng_)
+
+    t0 = time.time()
+
+    def log(step, m):
+        print(f"step {step} ({time.time()-t0:.0f}s): "
+              + " ".join(f"{k}={v:.4f}" for k, v in m.items()))
+
+    trainer = Trainer(apply_fn, params, tc, log_fn=log)
+    trainer.fit(stream)
+    trainer.save("latest")
+    print("done")
+
+
+if __name__ == "__main__":
+    main()
