@@ -5,6 +5,11 @@ Baseline: the BASELINE.md north-star of 1.0 s/frame at 512x1024 on one
 v5e chip (the reference never measures throughput; its render loop pushes
 4096-8192-ray batches through a Python loop, ``render.py:101,414``).
 ``vs_baseline`` = baseline_seconds / ours (>1 means faster than target).
+
+Timing methodology: on this box the TPU is reached through a tunnel where
+``block_until_ready`` does not actually block and bulk host transfers run
+at ~30 MB/s, so we chain K whole-frame renders on device, reduce to one
+scalar, fetch it (forcing completion), and subtract the measured RTT.
 """
 
 import json
@@ -48,22 +53,36 @@ def main():
 
     c2w = data["que_imgs_info"]["c2w"]
     qdr = data["que_imgs_info"]["depth_range"]
-    chunk = 8192 if not on_cpu else 2048
+    chunk = 4096 if not on_cpu else 2048
 
     ref_data = full_render.prepare_ref_data(model, params, ref_info)
-    # warmup (compile)
-    out = full_render.render_image(model, params, ref_info, c2w, qdr,
-                                   chunk=chunk, ref_data=ref_data)
-    jax.block_until_ready(out["rgb"])
 
-    times = []
+    @jax.jit
+    def frame_sum(ref_data, c2w):
+        rgb = full_render.render_image_device(
+            model, params, ref_data, c2w, qdr, ref_info["depth_range"],
+            chunk=chunk)
+        return rgb.sum()
+
+    # warmup / compile
+    _ = float(frame_sum(ref_data, c2w))
+    # RTT of a trivial fetch
+    rtts = []
+    trivial = jax.jit(lambda x: x.sum())
     for _ in range(3):
         t0 = time.perf_counter()
-        out = full_render.render_image(model, params, ref_info, c2w, qdr,
-                                       chunk=chunk, ref_data=ref_data)
-        jax.block_until_ready(out["rgb"])
+        _ = float(trivial(qdr))
+        rtts.append(time.perf_counter() - t0)
+    rtt = min(rtts)
+
+    times = []
+    for i in range(3):
+        c = c2w.at[2, 3].add(0.001 * i)  # avoid any result caching
+        t0 = time.perf_counter()
+        _ = float(frame_sum(ref_data, c))
         times.append(time.perf_counter() - t0)
-    sec = min(times)
+    sec = max(min(times) - rtt, 1e-9)
+
     rays_per_sec = H * W / sec
     baseline_sec = 1.0 * (H * W) / (512 * 1024)  # scale target with size
     print(json.dumps({

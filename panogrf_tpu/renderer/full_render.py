@@ -46,6 +46,37 @@ def _render_chunk(model: NeuralRayGenRenderer, params, ref_data, coords,
     return {k: out[k] for k in keys}
 
 
+def render_image_device(model: NeuralRayGenRenderer, params: Any,
+                        ref_data: dict, que_c2w: Array,
+                        que_depth_range: Array, ref_depth_range: Array,
+                        chunk: int = 8192) -> Array:
+    """Whole-pano render as ONE jitted computation.
+
+    The chunk loop runs on-device via ``lax.map`` (compiles the chunk body
+    once), eliminating per-chunk host dispatch entirely — the right shape
+    for TPU serving and for honest benchmarking through the tunnel.
+    :return: rgb (H, W, 3) on device.
+    """
+    h, w = model.height, model.width
+    n = h * w
+    assert n % chunk == 0, (n, chunk)
+
+    xs, ys = np.meshgrid(np.arange(w), np.arange(h))
+    coords = jnp.asarray(
+        np.stack([xs, ys], -1).reshape(n // chunk, 1, chunk, 2), jnp.float32)
+
+    def render_chunk(c):
+        out = model.apply(params, ref_data, c, que_c2w, que_depth_range,
+                          ref_depth_range,
+                          method=NeuralRayGenRenderer.render_rays)
+        key = ("pixel_colors_nr_fine" if "pixel_colors_nr_fine" in out
+               else "pixel_colors_nr")
+        return out[key][0]
+
+    rgb = jax.lax.map(render_chunk, coords)
+    return jnp.clip(rgb.reshape(h, w, 3), 0.0, 1.0)
+
+
 def render_image(model: NeuralRayGenRenderer, params: Any, ref_info: dict,
                  que_c2w: Array, que_depth_range: Array,
                  chunk: int = 8192, ref_data: Optional[dict] = None) -> dict:

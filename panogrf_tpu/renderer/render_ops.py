@@ -125,6 +125,41 @@ def gather_at_coords(grid: Array, coords: Array) -> Array:
     return grid[iy, ix]
 
 
+def coords2rays_perspective(coords: Array, w2c: Array, K: Array) -> tuple:
+    """Pixel coords -> perspective camera rays in world frame.
+
+    Reference ``render_ops.py:37-60`` (coords2rays): centers = -R^T t,
+    directions = R^T K^-1 [u, v, 1] - center... expressed directly here.
+    :param coords: (qn, rn, 2); w2c (qn, 3, 4); K (qn, 3, 3).
+    :return: (centers (qn, rn, 3), directions (qn, rn, 3) unnormalized).
+    """
+    rot = w2c[:, :, :3]
+    trans = w2c[:, :, 3]
+    centers = -jnp.einsum("qji,qj->qi", rot, trans)      # (qn, 3)
+    ones = jnp.ones((*coords.shape[:-1], 1), coords.dtype)
+    hom = jnp.concatenate([coords, ones], axis=-1)       # (qn, rn, 3)
+    k_inv = jnp.linalg.inv(K)
+    cam = jnp.einsum("qij,qrj->qri", k_inv, hom)
+    dirs = jnp.einsum("qji,qrj->qri", rot, cam)
+    centers = jnp.broadcast_to(centers[:, None], dirs.shape)
+    return centers, dirs
+
+
+def depth2points_perspective(coords: Array, que_depth: Array, w2c: Array,
+                             K: Array) -> tuple:
+    """Perspective analogue of depth2points_spherical (reference
+    ``render_ops.py:62-74``): points at ray-parameter ``que_depth``.
+
+    :return: (que_pts (qn, rn, dn, 3), que_dir (qn, rn, dn, 3) negated
+        unit directions).
+    """
+    centers, dirs = coords2rays_perspective(coords, w2c, K)
+    pts = centers[:, :, None] + dirs[:, :, None] * que_depth[..., None]
+    que_dir = -dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+    que_dir = jnp.broadcast_to(que_dir[:, :, None], pts.shape)
+    return pts, que_dir
+
+
 def gather_at_coords_batched(grids: Array, coords: Array) -> Array:
     """Index (B, H, W, C) grids at integer coords (B, N, 2) -> (B, N, C)."""
     return jax.vmap(gather_at_coords)(grids, coords)

@@ -110,17 +110,25 @@ class NeuralRayGenRenderer(nn.Module):
 
     def render_by_depth(self, que_depth: Array, coords: Array, que_c2w: Array,
                         que_depth_range: Array, ref_data: dict,
-                        ref_depth_range: Array, is_fine: bool) -> dict:
+                        ref_depth_range: Array, is_fine: bool,
+                        perspec_cam: Optional[tuple] = None) -> dict:
         """One rendering pass at given sample depths.
 
         Reference ``renderer.py:223-317``.
         :param que_depth: (qn, rn, dn); coords (qn, rn, 2); que_c2w (3, 4).
+        :param perspec_cam: optional (w2c (qn,3,4), K (qn,3,3)) — renders a
+            perspective (cube-face) query camera instead of an ERP one
+            (reference ``is_perspec`` path, render_cubes.py).
         """
         conv = self.convention
         que_dists = ro.depth2inv_dists(que_depth, que_depth_range)
-        directions = conv.ray_directions(self.height, self.width)
-        que_pts, que_dir = ro.depth2points_spherical(coords, que_depth,
-                                                     que_c2w, directions)
+        if perspec_cam is not None:
+            que_pts, que_dir = ro.depth2points_perspective(
+                coords, que_depth, perspec_cam[0], perspec_cam[1])
+        else:
+            directions = conv.ray_directions(self.height, self.width)
+            que_pts, que_dir = ro.depth2points_spherical(coords, que_depth,
+                                                         que_c2w, directions)
         prj = ro.project_points_dict(ref_data, que_pts, conv)
 
         decoder = self.fine_dist_decoder if is_fine else self.dist_decoder
@@ -172,7 +180,8 @@ class NeuralRayGenRenderer(nn.Module):
 
     def render_rays(self, ref_data: dict, coords: Array, que_c2w: Array,
                     que_depth_range: Array, ref_depth_range: Array,
-                    rng: Optional[jax.Array] = None) -> dict:
+                    rng: Optional[jax.Array] = None,
+                    perspec_cam: Optional[tuple] = None) -> dict:
         """Full coarse(+fine) rendering of a chunk of rays.
 
         Reference ``render_impl`` (``renderer.py:567-633``).
@@ -188,7 +197,8 @@ class NeuralRayGenRenderer(nn.Module):
                                        self.use_disp, r_coarse)
         outputs = self.render_by_depth(que_depth, coords, que_c2w,
                                        que_depth_range, ref_data,
-                                       ref_depth_range, is_fine=False)
+                                       ref_depth_range, is_fine=False,
+                                       perspec_cam=perspec_cam)
 
         if self.use_hierarchical_sampling:
             hit = jax.lax.stop_gradient(outputs["hit_prob_nr"])
@@ -200,7 +210,8 @@ class NeuralRayGenRenderer(nn.Module):
             fine_depth = jnp.sort(fine_depth, axis=-1)
             fine_out = self.render_by_depth(fine_depth, coords, que_c2w,
                                             que_depth_range, ref_data,
-                                            ref_depth_range, is_fine=True)
+                                            ref_depth_range, is_fine=True,
+                                            perspec_cam=perspec_cam)
             for k, v in fine_out.items():
                 outputs[k + "_fine"] = v
         return outputs

@@ -1,0 +1,127 @@
+"""Checkpoint converter tests.
+
+Builds a synthetic torch-style state dict with the reference's exact key
+layout (torchvision resnet18 + UniFuse decoder ModuleList) using real torch
+modules where that layout is torchvision-defined, then checks the converter
+produces a tree that is shape-identical to a freshly initialized flax
+UniFuse AND that the converted network runs.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from panogrf_tpu.models.unifuse import UniFuse
+from panogrf_tpu.utils import torch_convert as tc
+
+
+def _fake_resnet18_sd(prefix, rng):
+    """torchvision-resnet18 state dict keys with correct shapes."""
+    sd = {}
+
+    def conv(k, o, i, s=3):
+        sd[k] = rng.normal(size=(o, i, s, s)).astype(np.float32)
+
+    def bn(k, c):
+        sd[f"{k}.weight"] = np.ones(c, np.float32)
+        sd[f"{k}.bias"] = np.zeros(c, np.float32)
+        sd[f"{k}.running_mean"] = np.zeros(c, np.float32)
+        sd[f"{k}.running_var"] = np.ones(c, np.float32)
+
+    conv(f"{prefix}.conv1.weight", 64, 3, 7)
+    bn(f"{prefix}.bn1", 64)
+    chans = [64, 128, 256, 512]
+    inc = 64
+    for li, c in enumerate(chans, start=1):
+        for bi in range(2):
+            t = f"{prefix}.layer{li}.{bi}"
+            cin = inc if bi == 0 else c
+            conv(f"{t}.conv1.weight", c, cin)
+            bn(f"{t}.bn1", c)
+            conv(f"{t}.conv2.weight", c, c)
+            bn(f"{t}.bn2", c)
+            if bi == 0 and li > 1:
+                conv(f"{t}.downsample.0.weight", c, cin, 1)
+                bn(f"{t}.downsample.1", c)
+        inc = c
+    return sd
+
+
+def _fake_unifuse_sd(rng, fusion="cee"):
+    sd = {}
+    sd.update(_fake_resnet18_sd("equi_encoder", rng))
+    sd.update(_fake_resnet18_sd("cube_encoder", rng))
+    enc = [64, 64, 128, 256, 512]
+    dec = [16, 32, 64, 128, 256]
+
+    def conv(k, o, i, s=3, bias=True):
+        sd[f"{k}.weight"] = rng.normal(size=(o, i, s, s)).astype(np.float32)
+        if bias:
+            sd[f"{k}.bias"] = np.zeros(o, np.float32)
+
+    def bn(k, c):
+        sd[f"{k}.weight"] = np.ones(c, np.float32)
+        sd[f"{k}.bias"] = np.zeros(c, np.float32)
+        sd[f"{k}.running_mean"] = np.zeros(c, np.float32)
+        sd[f"{k}.running_var"] = np.ones(c, np.float32)
+
+    def cee(idx, c):
+        t = f"equi_decoder.{idx}"
+        conv(f"{t}.res_conv1", c, 2 * c, 1, bias=False)
+        bn(f"{t}.res_bn1", c)
+        conv(f"{t}.res_conv2", c, c, 3, bias=False)
+        bn(f"{t}.res_bn2", c)
+        sd[f"{t}.selayer.fc.0.weight"] = rng.normal(
+            size=(2 * c // 16, 2 * c)).astype(np.float32)
+        sd[f"{t}.selayer.fc.2.weight"] = rng.normal(
+            size=(2 * c, 2 * c // 16)).astype(np.float32)
+        conv(f"{t}.conv", c, 2 * c, 1, bias=False)
+
+    order = tc._UNIFUSE_DECODER_ORDER
+    # fusion layers at enc channels [512, 256, 128, 64, 64]
+    for name, c in zip(["fusion_5", "fusion_4", "fusion_3", "fusion_2",
+                        "fusion_1"], [512, 256, 128, 64, 64]):
+        cee(order.index(name), c)
+    # ConvBlocks: (in, out) channel pairs per decoder stage
+    convs = {
+        "upconv_5": (512, 256), "deconv_4": (256 + 256, 256),
+        "upconv_4": (256, 128), "deconv_3": (128 + 128, 128),
+        "upconv_3": (128, 64), "deconv_2": (64 + 64, 64),
+        "upconv_2": (64, 32), "deconv_1": (32 + 64, 32),
+        "upconv_1": (32, 16), "deconv_0": (16, 16),
+    }
+    for name, (i, o) in convs.items():
+        conv(f"equi_decoder.{order.index(name)}.conv.conv", o, i)
+    conv(f"equi_decoder.{order.index('depthconv_0')}.conv", 1, 16)
+    return sd
+
+
+def test_convert_unifuse_shapes_and_forward():
+    rng = np.random.default_rng(0)
+    sd = _fake_unifuse_sd(rng)
+    converted = tc.convert_unifuse(sd, fusion_type="cee")
+
+    model = UniFuse(fusion_type="cee", se_in_fusion=True)
+    h, w = 64, 128
+    equi = jnp.zeros((1, h, w, 3))
+    cube = jnp.zeros((1, 6, h // 2, h // 2, 3))
+    init_vars = jax.jit(model.init)(jax.random.PRNGKey(0), equi, cube)
+
+    problems = tc.verify_tree_shapes(converted["params"],
+                                     init_vars["params"])
+    assert not problems, problems[:10]
+    problems = tc.verify_tree_shapes(converted["batch_stats"],
+                                     init_vars["batch_stats"])
+    assert not problems, problems[:10]
+
+    # converted tree must actually run
+    converted = jax.tree.map(jnp.asarray, converted)
+    out = jax.jit(model.apply)(converted, equi, cube)
+    assert np.isfinite(np.asarray(out["pred_depth"])).all()
+
+
+def test_strip_module_prefix():
+    sd = {"module.a.weight": np.zeros(1), "b.bias": np.ones(1)}
+    out = tc.strip_module_prefix(sd)
+    assert set(out) == {"a.weight", "b.bias"}

@@ -1,0 +1,138 @@
+"""Train the 360-MVS depth net with a frozen mono prior (reference
+``train_depth.py`` recipe, config ``configs/train/depth/m3d_mvs.yaml``).
+
+Usage:
+  python tools/train_depth.py --steps 200 --height 128 --width 256 \
+      [--mono-ckpt data/depth_model/mono_run/checkpoint_200] \
+      [--shards data/shards_train]
+
+Without --mono-ckpt a randomly initialized frozen UniFuse provides the
+hypothesis prior (fine for smoke runs; real training should point at a
+trained mono checkpoint).
+"""
+
+import argparse
+import sys
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=200)
+    ap.add_argument("--height", type=int, default=128)
+    ap.add_argument("--width", type=int, default=256)
+    ap.add_argument("--batch", type=int, default=2)
+    ap.add_argument("--shards", default=None)
+    ap.add_argument("--mono-ckpt", default=None)
+    ap.add_argument("--m3d-dist", type=float, default=1.0)
+    ap.add_argument("--lr", type=float, default=1e-4)
+    ap.add_argument("--name", default="mvs_run")
+    ap.add_argument("--min-depth", type=float, default=0.1)
+    ap.add_argument("--max-depth", type=float, default=10.0)
+    ap.add_argument("--hypotheses", type=int, default=64)
+    ap.add_argument("--mvs-uncertainty", action="store_true")
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args()
+
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+    import jax
+    import jax.numpy as jnp
+
+    from panogrf_tpu.core import cubemap
+    from panogrf_tpu.data.shards import ShardReader
+    from panogrf_tpu.data.synthetic import (SphereScene,
+                                            make_three_view_sample)
+    from panogrf_tpu.models.mvs import MVSDepthModel
+    from panogrf_tpu.models.unifuse import UniFuse, normalize_imagenet
+    from panogrf_tpu.train.depth_trainer import DepthTrainer, DepthTrainConfig
+
+    H, W = args.height, args.width
+    mono = UniFuse(max_depth=args.max_depth)
+    rng = np.random.default_rng(2022)
+
+    dummy_e = jnp.zeros((1, H, W, 3))
+    dummy_c = jnp.zeros((1, 6, H // 2, H // 2, 3))
+    mono_vars = jax.jit(mono.init)(jax.random.PRNGKey(1), dummy_e, dummy_c)
+    if args.mono_ckpt:
+        import orbax.checkpoint as ocp
+        mono_vars = ocp.StandardCheckpointer().restore(
+            Path(args.mono_ckpt).absolute(), mono_vars)
+        print(f"restored mono from {args.mono_ckpt}")
+
+    mono_apply = jax.jit(lambda v, e, c: mono.apply(v, e, c))
+
+    reader = ShardReader(args.shards) if args.shards else None
+
+    def make_batch():
+        panos, rots, trans, gts = [], [], [], []
+        for _ in range(args.batch):
+            if reader is not None:
+                s = reader[int(rng.integers(len(reader)))]
+            else:
+                scene = SphereScene.random(int(rng.integers(1 << 30)))
+                s = {k: np.asarray(v) for k, v in make_three_view_sample(
+                    scene, H, W, args.m3d_dist,
+                    seed=int(rng.integers(1 << 30))).items()}
+            # two-view (src=view0, ref=view1) protocol
+            panos.append(np.stack([s["rgb_panos"][0], s["rgb_panos"][1]]))
+            rots.append(np.stack([s["rots"][0], s["rots"][1]]))
+            trans.append(np.stack([s["trans"][0], s["trans"][1]]))
+            gts.append(np.clip(s["depth_panos"][1], 0, args.max_depth))
+        batch = {
+            "panos": jnp.asarray(np.stack(panos), jnp.float32),
+            "rots": jnp.asarray(np.stack(rots), jnp.float32),
+            "trans": jnp.asarray(np.stack(trans), jnp.float32),
+            "gt_depth": jnp.asarray(np.stack(gts), jnp.float32),
+        }
+        # frozen mono prior on the reference view
+        equi = normalize_imagenet(batch["panos"][:, 1])
+        cube = jax.vmap(lambda e: cubemap.equi_to_cube(e, H // 2))(equi)
+        mout = mono_apply(mono_vars, equi, cube)
+        batch["mono_depth"] = jax.lax.stop_gradient(mout["pred_depth"])
+        batch["mono_feat"] = jax.lax.stop_gradient(mout["mono_feat"])
+        return batch
+
+    def batches():
+        while True:
+            yield make_batch()
+
+    model = MVSDepthModel(
+        min_depth=args.min_depth, max_depth=args.max_depth,
+        num_hypotheses=args.hypotheses,
+        mvs_uncertainty=args.mvs_uncertainty)
+    first = make_batch()
+    variables = jax.jit(model.init)(
+        jax.random.PRNGKey(0), first["panos"], first["rots"],
+        first["trans"], first["mono_depth"], first["mono_feat"])
+    n = sum(x.size for x in jax.tree.leaves(variables))
+    print(f"mvs params: {n/1e6:.2f}M")
+
+    def forward_fn(variables, batch, train):
+        out = model.apply(variables, batch["panos"], batch["rots"],
+                          batch["trans"], batch["mono_depth"],
+                          batch["mono_feat"])
+        out = dict(out)
+        out["pred_depth"] = out.pop("depth")
+        if args.mvs_uncertainty:
+            out["pred"] = out["pred_final"]
+        return out, {}
+
+    loss = "gaussian_nll" if args.mvs_uncertainty else "l1_sphere"
+    cfg = DepthTrainConfig(name=args.name, learning_rate=args.lr,
+                           loss_type=loss, log_interval=10)
+    trainer = DepthTrainer(forward_fn, variables, cfg,
+                           log_fn=lambda s, m: print(f"step {s}: {m}"))
+    trainer.restore()
+    trainer.fit(batches(), args.steps)
+    trainer.save()
+    print("eval:", trainer.evaluate(batches(), 2))
+
+
+if __name__ == "__main__":
+    main()
