@@ -257,6 +257,10 @@ class ResUNetLight(nn.Module):
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
+        if x.shape[1] % 16 or x.shape[2] % 16:
+            raise ValueError(
+                f"ResUNetLight needs H, W divisible by 16, got "
+                f"{x.shape[1]}x{x.shape[2]}")
         # stem: 7x7 stride 2
         h = x
         if self.wrap:

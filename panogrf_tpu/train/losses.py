@@ -177,10 +177,16 @@ def laplacian_nll_loss(mu: Array, b_scale: Array, gt: Array,
 # registry (reference name2loss, loss.py:484)
 # ---------------------------------------------------------------------------
 
+def _depth_ft_loss(*args, **kw):
+    from panogrf_tpu.train.ft_losses import depth_ft_loss
+    return depth_ft_loss(*args, **kw)
+
+
 NAME2LOSS: Dict[str, Callable] = {
     "render": render_loss,
     "depth": depth_loss,
     "consistency": consistency_loss,
+    "depth_ft": _depth_ft_loss,
 }
 
 

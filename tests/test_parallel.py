@@ -1,0 +1,62 @@
+"""Mesh sharding tests on the virtual 8-device CPU mesh."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from panogrf_tpu.parallel.mesh import make_mesh, RAY_AXIS
+from panogrf_tpu.parallel.sharded_render import render_image_sharded
+from panogrf_tpu.renderer.renderer import NeuralRayGenRenderer
+
+H, W = 32, 64
+DH, DW = 16, 32
+
+
+def _setup():
+    rng = np.random.default_rng(0)
+    model = NeuralRayGenRenderer(height=H, width=W, depth_hw=(DH, DW),
+                                 depth_sample_num=4, fine_depth_sample_num=4)
+    ref_info = {
+        "imgs": jnp.asarray(rng.uniform(size=(2, H, W, 3)), jnp.float32),
+        "mvs_depth": jnp.asarray(rng.uniform(1, 5, size=(2, DH, DW, 1)),
+                                 jnp.float32),
+        "depth_range": jnp.asarray([[0.5, 15.0]] * 2),
+        "w2c": jnp.broadcast_to(
+            jnp.concatenate([jnp.eye(3), jnp.zeros((3, 1))], 1),
+            (2, 3, 4)).at[1, 2, 3].set(0.3),
+    }
+    data = {"ref_imgs_info": ref_info,
+            "que_imgs_info": {"coords": jnp.zeros((1, 8, 2)),
+                              "c2w": jnp.concatenate(
+                                  [jnp.eye(3),
+                                   jnp.asarray([[0.], [0.], [.1]])], 1),
+                              "depth_range": jnp.asarray([[0.5, 15.0]])}}
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), data)
+    ref_data = model.apply(params, ref_info["imgs"], ref_info["mvs_depth"],
+                           method=NeuralRayGenRenderer.prepare_ref)
+    ref_data["w2c"] = ref_info["w2c"]
+    return model, params, ref_data, data
+
+
+def test_sharded_render_matches_single_device(eight_devices):
+    model, params, ref_data, data = _setup()
+    mesh = make_mesh(8, data=1)
+    assert mesh.shape[RAY_AXIS] == 8
+    rgb_sharded = render_image_sharded(
+        model, params, ref_data, data["que_imgs_info"]["c2w"],
+        data["que_imgs_info"]["depth_range"],
+        data["ref_imgs_info"]["depth_range"], mesh)
+
+    # single-device reference
+    from panogrf_tpu.renderer.full_render import render_image_device
+    rgb_single = jax.jit(lambda: render_image_device(
+        model, params, ref_data, data["que_imgs_info"]["c2w"],
+        data["que_imgs_info"]["depth_range"],
+        data["ref_imgs_info"]["depth_range"], chunk=H * W))()
+    np.testing.assert_allclose(np.asarray(rgb_sharded),
+                               np.asarray(rgb_single), atol=2e-3)
+
+
+def test_mesh_2d(eight_devices):
+    mesh = make_mesh(8, data=2)
+    assert mesh.shape == {"data": 2, "ray": 4}
