@@ -66,16 +66,37 @@ class MultiHeadAttention(nn.Module):
 
 
 class _Seq(nn.Module):
-    """Dense stack with ELU activations between layers."""
+    """Dense stack with ELU activations between layers.
+
+    Parameters are declared directly (``w{i}``/``b{i}``) so the same tree
+    serves two execution paths: plain XLA matmuls, and — for 2-layer
+    stacks on TPU — the fused Pallas MLP kernel
+    (``panogrf_tpu/ops/pallas/fused_mlp.py``) which keeps the hidden
+    activation in VMEM instead of round-tripping HBM.
+    """
     dims: tuple
     final_act: str = "elu"  # 'elu' | 'none' | 'sigmoid' | 'relu'
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
+        layers = []
+        din = x.shape[-1]
         for i, d in enumerate(self.dims):
-            x = nn.Dense(d)(x)
-            last = i == len(self.dims) - 1
-            if not last:
+            k = self.param(f"w{i}", nn.initializers.lecun_normal(),
+                           (din, d))
+            b = self.param(f"b{i}", nn.initializers.zeros, (d,))
+            layers.append((k, b))
+            din = d
+
+        if len(self.dims) == 2 and jax.default_backend() == "tpu":
+            from panogrf_tpu.ops.pallas.fused_mlp import mlp2_batched
+            (w1, b1), (w2, b2) = layers
+            return mlp2_batched(x, w1, b1, w2, b2, act1="elu",
+                                act2=self.final_act)
+
+        for i, (k, b) in enumerate(layers):
+            x = x @ k + b
+            if i < len(layers) - 1:
                 x = nn.elu(x)
         if self.final_act == "elu":
             x = nn.elu(x)

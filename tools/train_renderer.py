@@ -101,14 +101,52 @@ def main():
     def apply_fn(p, batch, rng_):
         return model.apply(p, batch, rng=rng_)
 
+    # ValidationEvaluator (reference train/train_valid.py:10-120): fixed
+    # val scenes, full-query-view render, psnr/ssim/ws-psnr; the trainer
+    # keeps the best checkpoint by key_metric (psnr_nr_fine -> psnr_nr of
+    # the fine pass here).
+    from panogrf_tpu.data.synthetic import SphereScene as _S
+    from panogrf_tpu.data.synthetic import make_three_view_sample as _mk
+    from panogrf_tpu.renderer import full_render
+    from panogrf_tpu.train import metrics as M
+    val_scenes = []
+    for vi in range(2):  # validate_num=2 like the reference ft cap
+        s = _mk(_S.random(10_000 + vi), H, W, cfg.data.m3d_dist,
+                seed=10_000 + vi)
+        val_scenes.append(s)
+
+    def val_fn(params, step):
+        import jax.numpy as jnp
+        outs = {}
+        vals = []
+        for s in val_scenes:
+            ref_info = imgs_info.build_imgs_info(
+                s, imgs_info.REF_IDS, (R.min_depth, R.max_depth))
+            ref_info["mvs_depth"] = resize_linear(
+                s["depth_panos"][jnp.asarray(imgs_info.REF_IDS)],
+                (DH, DW), axes=(1, 2))
+            que_w2c = imgs_info.pose_w2c(s["rots"], s["trans"])[
+                imgs_info.QUE_ID]
+            c2w = imgs_info.c2w_from_w2c(que_w2c[None])[0]
+            out = full_render.render_image(
+                model, params, ref_info, c2w,
+                jnp.asarray([[R.min_depth, R.max_depth]]),
+                chunk=min(8192, H * W))
+            m = M.render_metrics(out["rgb"],
+                                 s["rgb_panos"][imgs_info.QUE_ID])
+            vals.append({k: float(v) for k, v in m.items()})
+        for k in vals[0]:
+            outs[k] = float(np.mean([v[k] for v in vals]))
+        return outs
+
     t0 = time.time()
 
     def log(step, m):
         print(f"step {step} ({time.time()-t0:.0f}s): "
               + " ".join(f"{k}={v:.4f}" for k, v in m.items()))
 
-    trainer = Trainer(apply_fn, params, tc, log_fn=log)
-    trainer.fit(stream)
+    trainer = Trainer(apply_fn, params, tc, val_fn=val_fn, log_fn=log)
+    trainer.fit(stream, key_metric="psnr_nr")
     trainer.save("latest")
     print("done")
 
