@@ -31,7 +31,9 @@ def main():
     if on_cpu:  # keep CI sane; the driver runs this on the real chip
         H, W, DH, DW = 64, 128, 32, 64
 
-    model = NeuralRayGenRenderer(height=H, width=W, depth_hw=(DH, DW))
+    model = NeuralRayGenRenderer(
+        height=H, width=W, depth_hw=(DH, DW),
+        compute_dtype="bfloat16" if not on_cpu else "float32")
     rng = np.random.default_rng(0)
     ref_info = {
         "imgs": jnp.asarray(rng.uniform(size=(rfn, H, W, 3)), jnp.float32),

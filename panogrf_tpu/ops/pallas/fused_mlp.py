@@ -40,6 +40,9 @@ def _act(x: Array, kind: str) -> Array:
         return jax.nn.relu(x)
     if kind == "sigmoid":
         return jax.nn.sigmoid(x)
+    if kind == "softplus":
+        # numerically stable without log1p (not lowerable in Mosaic)
+        return jnp.maximum(x, 0.0) + jnp.log(1.0 + jnp.exp(-jnp.abs(x)))
     if kind == "none":
         return x
     raise ValueError(kind)
@@ -50,7 +53,7 @@ def _mlp2_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref, *,
     h = jnp.dot(x_ref[:], w1_ref[:], preferred_element_type=jnp.float32)
     h = _act(h + b1_ref[:], act1)
     o = jnp.dot(h, w2_ref[:], preferred_element_type=jnp.float32)
-    o_ref[:] = _act(o + b2_ref[:], act2)
+    o_ref[:] = _act(o + b2_ref[:], act2).astype(o_ref.dtype)
 
 
 def _mlp2_forward(x: Array, w1: Array, b1: Array, w2: Array, b2: Array,
@@ -134,3 +137,86 @@ def mlp2_batched(x: Array, w1: Array, b1: Array, w2: Array, b2: Array,
     flat = x.reshape(-1, x.shape[-1])
     out = mlp2(flat, w1, b1, w2, b2, act1, act2, 1024, interpret)
     return out.reshape(*lead, w2.shape[1])
+
+
+# ---------------------------------------------------------------------------
+# 3-layer variant (dist-decoder heads / rgb_fc)
+# ---------------------------------------------------------------------------
+
+def _mlp3_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref,
+                 o_ref, *, acts):
+    h = jnp.dot(x_ref[:], w1_ref[:], preferred_element_type=jnp.float32)
+    h = _act(h + b1_ref[:], acts[0])
+    h = jnp.dot(h, w2_ref[:], preferred_element_type=jnp.float32)
+    h = _act(h + b2_ref[:], acts[1])
+    o = jnp.dot(h, w3_ref[:], preferred_element_type=jnp.float32)
+    o_ref[:] = _act(o + b3_ref[:], acts[2]).astype(o_ref.dtype)
+
+
+def _mlp3_ref(x, params, acts):
+    for (w, b), a in zip(params, acts):
+        x = _act(x @ w + b, a)
+    return x
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
+def mlp3(x, w1, b1, w2, b2, w3, b3, acts=("elu", "elu", "none"),
+         block_rows: int = 1024, interpret: bool = False):
+    """Fused 3-layer MLP: x (N, Din) -> (N, Dout)."""
+    if interpret:
+        return _mlp3_ref(x, [(w1, b1), (w2, b2), (w3, b3)], acts)
+    n, din = x.shape
+    dh1, dh2, dout = w1.shape[1], w2.shape[1], w3.shape[1]
+    dims_p = [_round_up(d, 128) for d in (din, dh1, dh2, dout)]
+    n_p = _round_up(max(n, 8), block_rows)
+    xp = jnp.pad(x, ((0, n_p - n), (0, dims_p[0] - din)))
+    w1p = jnp.pad(w1, ((0, dims_p[0] - din), (0, dims_p[1] - dh1)))
+    b1p = jnp.pad(b1, (0, dims_p[1] - dh1)).reshape(1, -1)
+    w2p = jnp.pad(w2, ((0, dims_p[1] - dh1), (0, dims_p[2] - dh2)))
+    b2p = jnp.pad(b2, (0, dims_p[2] - dh2)).reshape(1, -1)
+    w3p = jnp.pad(w3, ((0, dims_p[2] - dh2), (0, dims_p[3] - dout)))
+    b3p = jnp.pad(b3, (0, dims_p[3] - dout)).reshape(1, -1)
+
+    grid = (n_p // block_rows,)
+    full = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0),
+                                      memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_mlp3_kernel, acts=acts),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((block_rows, dims_p[0]), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            full((dims_p[0], dims_p[1])), full((1, dims_p[1])),
+            full((dims_p[1], dims_p[2])), full((1, dims_p[2])),
+            full((dims_p[2], dims_p[3])), full((1, dims_p[3])),
+        ],
+        out_specs=pl.BlockSpec((block_rows, dims_p[3]), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_p, dims_p[3]), x.dtype),
+    )(xp, w1p, b1p, w2p, b2p, w3p, b3p)
+    return out[:n, :dout]
+
+
+def _fwd3(x, w1, b1, w2, b2, w3, b3, acts, block_rows, interpret):
+    out = mlp3(x, w1, b1, w2, b2, w3, b3, acts, block_rows, interpret)
+    return out, (x, w1, b1, w2, b2, w3, b3)
+
+
+def _bwd3(acts, block_rows, interpret, res, g):
+    x, w1, b1, w2, b2, w3, b3 = res
+    _, vjp = jax.vjp(
+        lambda x, w1, b1, w2, b2, w3, b3:
+        _mlp3_ref(x, [(w1, b1), (w2, b2), (w3, b3)], acts),
+        x, w1, b1, w2, b2, w3, b3)
+    return vjp(g)
+
+
+mlp3.defvjp(_fwd3, _bwd3)
+
+
+def mlp3_batched(x, w1, b1, w2, b2, w3, b3, acts=("elu", "elu", "none"),
+                 interpret: bool = False):
+    lead = x.shape[:-1]
+    out = mlp3(x.reshape(-1, x.shape[-1]), w1, b1, w2, b2, w3, b3, acts,
+               1024, interpret)
+    return out.reshape(*lead, w3.shape[1])

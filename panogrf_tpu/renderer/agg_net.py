@@ -48,11 +48,11 @@ class MultiHeadAttention(nn.Module):
         b, lq, _ = q.shape
         residual = q
         qh = nn.Dense(self.n_head * self.d_k, use_bias=False,
-                      name="w_qs")(q).reshape(b, lq, self.n_head, self.d_k)
+                      name="w_qs", dtype=q.dtype)(q).reshape(b, lq, self.n_head, self.d_k)
         kh = nn.Dense(self.n_head * self.d_k, use_bias=False,
-                      name="w_ks")(k).reshape(b, -1, self.n_head, self.d_k)
+                      name="w_ks", dtype=q.dtype)(k).reshape(b, -1, self.n_head, self.d_k)
         vh = nn.Dense(self.n_head * self.d_v, use_bias=False,
-                      name="w_vs")(v).reshape(b, -1, self.n_head, self.d_v)
+                      name="w_vs", dtype=q.dtype)(v).reshape(b, -1, self.n_head, self.d_v)
         qh, kh, vh = (jnp.swapaxes(t, 1, 2) for t in (qh, kh, vh))
         attn = jnp.einsum("bhqd,bhkd->bhqk", qh / (self.d_k ** 0.5), kh)
         if mask is not None:
@@ -60,9 +60,10 @@ class MultiHeadAttention(nn.Module):
         attn = jax.nn.softmax(attn, axis=-1)
         out = jnp.einsum("bhqk,bhkd->bhqd", attn, vh)
         out = jnp.swapaxes(out, 1, 2).reshape(b, lq, -1)
-        out = nn.Dense(self.d_model, use_bias=False, name="fc")(out)
+        out = nn.Dense(self.d_model, use_bias=False, name="fc",
+                       dtype=q.dtype)(out)
         out = out + residual
-        return nn.LayerNorm(epsilon=1e-6)(out)
+        return nn.LayerNorm(epsilon=1e-6, dtype=out.dtype)(out)
 
 
 class _Seq(nn.Module):
@@ -87,6 +88,9 @@ class _Seq(nn.Module):
             b = self.param(f"b{i}", nn.initializers.zeros, (d,))
             layers.append((k, b))
             din = d
+
+        # match compute dtype of the input (bf16 inference path)
+        layers = [(k.astype(x.dtype), b.astype(x.dtype)) for k, b in layers]
 
         if len(self.dims) == 2 and jax.default_backend() == "tpu":
             from panogrf_tpu.ops.pallas.fused_mlp import mlp2_batched
@@ -117,60 +121,65 @@ class IBRNetWithNeuRay(nn.Module):
     in_feat_ch: int = 32
     n_samples: int = 64
 
+    # The fused Pallas pooled-stage kernel is opt-in: with the point-major
+    # layout XLA's fusion already runs the pooled stage at ~11ms/chunk,
+    # while the current kernel's in-kernel lane extension lowers badly.
+    use_pallas: bool = False
+
+    def _pool_params(self, in_dim: int, nd: int) -> dict:
+        """Declare the pooled-stage parameter tree (shared by the Pallas
+        kernel and the jnp reference path)."""
+        f = in_dim  # in_feat_ch + 3
+        shapes = {
+            "ray_dir_fc": [(4, 16), (16, f)],
+            "neuray_fc": [(nd, 8), (8, 1)],
+            "base_fc": [(4 * f + f + nd, 64), (64, 32)],
+            "vis_fc": [(32, 32), (32, 33)],
+            "vis_fc2": [(32, 32), (32, 1)],
+            "geometry_fc": [(65, 64), (64, 16)],
+            "rgb_fc": [(32 + 1 + 4, 16), (16, 8), (8, 1)],
+        }
+        params = {}
+        for name, dims in shapes.items():
+            sub = {}
+            for i, (a, b) in enumerate(dims):
+                sub[f"w{i}"] = self.param(f"{name}_w{i}",
+                                          nn.initializers.lecun_normal(),
+                                          (a, b))
+                sub[f"b{i}"] = self.param(f"{name}_b{i}",
+                                          nn.initializers.zeros, (b,))
+            params[name] = sub
+        return params
+
     @nn.compact
     def __call__(self, rgb_feat: Array, neuray_feat: Array, ray_diff: Array,
                  mask: Array) -> Array:
-        nr, dn, v, _ = rgb_feat.shape
-        direction_feat = _Seq((16, self.in_feat_ch + 3),
-                              name="ray_dir_fc")(ray_diff)
-        rgb_in = rgb_feat[..., :3]
-        rgb_feat = rgb_feat + direction_feat
+        from panogrf_tpu.ops.pallas.ibr_pool import ibr_pool_op
+        nr, dn, v, f = rgb_feat.shape
+        nd = neuray_feat.shape[-1]
+        params = self._pool_params(f, nd)
+        dt = rgb_feat.dtype
+        params = jax.tree.map(lambda x: x.astype(dt), params)
 
-        weight = mask / (jnp.sum(mask, axis=2, keepdims=True) + 1e-8)
+        def flat(t):
+            return t.reshape(nr * dn, v, t.shape[-1])
 
-        def mean_var(x, wgt):
-            mean = jnp.sum(x * wgt, axis=2, keepdims=True)
-            var = jnp.sum(wgt * (x - mean) ** 2, axis=2, keepdims=True)
-            return mean, var
+        geo, rgb_out, nvalid = ibr_pool_op(
+            flat(rgb_feat), flat(neuray_feat), flat(ray_diff), flat(mask),
+            params, self.use_pallas)
+        geo = geo.reshape(nr, dn, 16).astype(jnp.float32)
+        rgb_out = rgb_out.reshape(nr, dn, 3)
+        num_valid_obs = nvalid.reshape(nr, dn, 1).astype(jnp.float32)
 
-        w0 = nn.sigmoid(_Seq((8, 1), final_act="none",
-                             name="neuray_fc")(neuray_feat)) * weight
-        mean0, var0 = mean_var(rgb_feat, w0)
-        mean1, var1 = mean_var(rgb_feat, weight)
-        globalfeat = jnp.concatenate([mean0, var0, mean1, var1], axis=-1)
-
-        x = jnp.concatenate(
-            [jnp.broadcast_to(globalfeat, (nr, dn, v, globalfeat.shape[-1])),
-             rgb_feat, neuray_feat], axis=-1)
-        x = _Seq((64, 32), name="base_fc")(x)
-
-        x_vis = _Seq((32, 33), name="vis_fc")(x * weight)
-        x_res, vis = x_vis[..., :-1], x_vis[..., -1:]
-        vis = nn.sigmoid(vis) * mask
-        x = x + x_res
-        vis = _Seq((32, 1), final_act="sigmoid", name="vis_fc2")(x * vis) * mask
-        weight = vis / (jnp.sum(vis, axis=2, keepdims=True) + 1e-8)
-
-        mean, var = mean_var(x, weight)
-        globalfeat = jnp.concatenate(
-            [mean[:, :, 0], var[:, :, 0], jnp.mean(weight, axis=2)], axis=-1)
-        globalfeat = _Seq((64, 16), name="geometry_fc")(globalfeat)
-        num_valid_obs = jnp.sum(mask, axis=2)  # (nr, dn, 1)
         pos = jnp.asarray(sinusoid_pos_encoding(dn, 16))
-        globalfeat = globalfeat + pos[None]
+        globalfeat = geo + pos[None]
         attn_mask = (num_valid_obs[..., 0] > 1).astype(jnp.float32)
         globalfeat = MultiHeadAttention(name="ray_attention")(
             globalfeat, globalfeat, globalfeat, mask=attn_mask[..., None])
         sigma = _Seq((16, 1), final_act="relu",
                      name="out_geometry_fc")(globalfeat)
         sigma = jnp.where(num_valid_obs < 1, 0.0, sigma)
-
-        x = jnp.concatenate([x, vis, ray_diff], axis=-1)
-        x = _Seq((16, 8, 1), final_act="none", name="rgb_fc")(x)
-        x = jnp.where(mask == 0, -1e9, x)
-        blend = jax.nn.softmax(x, axis=2)
-        rgb_out = jnp.sum(rgb_in * blend, axis=2)
-        return jnp.concatenate([rgb_out, sigma], axis=-1)
+        return jnp.concatenate([rgb_out.astype(jnp.float32), sigma], axis=-1)
 
 
 class DefaultAggregationNet(nn.Module):
@@ -185,33 +194,33 @@ class DefaultAggregationNet(nn.Module):
     @nn.compact
     def __call__(self, prj_dict: dict, que_dir: Array) -> tuple:
         """
-        :param prj_dict: per-view projections, each (rfn, qn, rn, dn, .):
-            ``hit_prob``, ``vis``, ``rgb``, ``dir``, ``ray_feats``,
-            ``img_feats``, optional ``mask``.
+        :param prj_dict: per-view projections, each (qn, rn, dn, rfn, .)
+            — POINT-MAJOR: ``hit_prob``, ``vis``, ``rgb``, ``dir``,
+            ``ray_feats``, ``img_feats``, optional ``mask``.
         :param que_dir: (qn, rn, dn, 3) query ray directions.
         :return: (density (qn, rn, dn), colors (qn, rn, dn, 3)).
         """
         hit_prob = (prj_dict["hit_prob"] - 0.5) * 2.0
         vis = (prj_dict["vis"] - 0.5) * 2.0
-        rfn, qn, rn, dn, _ = hit_prob.shape
+        qn, rn, dn, rfn, _ = hit_prob.shape
 
-        prob_embedding = nn.Dense(self.neuray_dim, name="prob_embed_0")(
+        prob_embedding = nn.Dense(self.neuray_dim, name="prob_embed_0",
+                                  dtype=hit_prob.dtype)(
             jnp.concatenate([prj_dict["ray_feats"], hit_prob, vis], axis=-1))
-        prob_embedding = nn.Dense(self.neuray_dim, name="prob_embed_1")(
+        prob_embedding = nn.Dense(self.neuray_dim, name="prob_embed_1",
+                                  dtype=hit_prob.dtype)(
             nn.relu(prob_embedding))
         if self.wo_geometry:
             prob_embedding = jnp.zeros_like(prob_embedding)
 
         # dir-diff feature (reference ``aggregate_net.py:8-14``)
-        dir_diff = prj_dict["dir"] - que_dir[None]
-        dir_dot = jnp.sum(prj_dict["dir"] * que_dir[None], axis=-1,
+        dir_diff = prj_dict["dir"] - que_dir[..., None, :]
+        dir_dot = jnp.sum(prj_dict["dir"] * que_dir[..., None, :], axis=-1,
                           keepdims=True)
         dir_diff = jnp.concatenate([dir_diff, dir_dot], axis=-1)
 
-        def to_rays(t):  # (rfn, qn, rn, dn, c) -> (qn*rn, dn, rfn, c)
-            c = t.shape[-1]
-            return jnp.transpose(t.reshape(rfn, qn * rn, dn, c),
-                                 (1, 2, 0, 3))
+        def to_rays(t):  # (qn, rn, dn, rfn, c) -> (qn*rn, dn, rfn, c)
+            return t.reshape(qn * rn, dn, rfn, t.shape[-1])
 
         img_feats = jnp.concatenate([prj_dict["rgb"], prj_dict["img_feats"]],
                                     axis=-1)
@@ -219,7 +228,7 @@ class DefaultAggregationNet(nn.Module):
             img_feats = jnp.zeros_like(img_feats)
         mask = prj_dict.get("mask")
         if mask is None:
-            mask = jnp.ones((rfn, qn, rn, dn, 1), jnp.float32)
+            mask = jnp.ones((qn, rn, dn, rfn, 1), img_feats.dtype)
 
         out = IBRNetWithNeuRay(self.neuray_dim, self.in_feat_ch, dn,
                                name="agg_impl")(

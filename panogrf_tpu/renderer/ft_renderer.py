@@ -52,6 +52,7 @@ class NeuralRayFtRenderer(nn.Module):
     render_depth: bool = True
     render_uncert: bool = False
     wrap: bool = True
+    compute_dtype: str = "float32"
 
     def setup(self):
         fh, fw = self.ray_feats_hw

@@ -64,6 +64,9 @@ class NeuralRayGenRenderer(nn.Module):
     render_uncert: bool = False
     use_self_hit_prob: bool = False
     wrap: bool = True
+    # 'bfloat16' halves gather bytes + elementwise traffic in the per-ray
+    # pipeline; probability/compositing math stays float32.
+    compute_dtype: str = "float32"
 
     def setup(self):
         self.image_encoder = ResUNetLight(out_dim=32, layers=(1, 2, 6),
@@ -101,8 +104,10 @@ class NeuralRayGenRenderer(nn.Module):
         img_feats = self.image_encoder(ref_imgs)
         ray_feats0 = self.init_net(ref_imgs, mvs_depth)
         ray_feats = self.vis_encoder(ray_feats0, img_feats)
-        return {"imgs": ref_imgs, "img_feats": img_feats,
-                "ray_feats": ray_feats, "mvs_depth": mvs_depth}
+        dt = jnp.dtype(self.compute_dtype)
+        return {"imgs": ref_imgs.astype(dt),
+                "img_feats": img_feats.astype(dt),
+                "ray_feats": ray_feats.astype(dt), "mvs_depth": mvs_depth}
 
     # ------------------------------------------------------------------
     # core pass
@@ -133,16 +138,22 @@ class NeuralRayGenRenderer(nn.Module):
 
         decoder = self.fine_dist_decoder if is_fine else self.dist_decoder
         mean, var, vis, aw = decoder(prj["ray_feats"])
+        # probability math in float32 regardless of compute dtype
+        f32 = lambda t: None if t is None else t.astype(jnp.float32)
         near, far = get_near_far_intervals_ref(
-            prj["depth"][..., 0], que_dists[None], ref_depth_range)
+            prj["depth"][..., 0], que_dists, ref_depth_range)
         alpha, visibility, hit_prob = compute_prob(
-            near, far, mean, var, vis, aw, self.use_vis)
-        prj["alpha"] = alpha[..., None]
-        prj["vis"] = visibility[..., None]
-        prj["hit_prob"] = hit_prob[..., None]
+            near, far, f32(mean), f32(var), f32(vis), f32(aw), self.use_vis)
+        dt = jnp.dtype(self.compute_dtype)
+        prj["alpha"] = alpha[..., None].astype(dt)
+        prj["vis"] = visibility[..., None].astype(dt)
+        prj["hit_prob"] = hit_prob[..., None].astype(dt)
+        prj["dir"] = prj["dir"].astype(dt)
 
         agg = self.fine_agg_net if is_fine else self.agg_net
-        density, colors = agg(prj, que_dir)
+        density, colors = agg(prj, que_dir.astype(dt))
+        density = density.astype(jnp.float32)
+        colors = colors.astype(jnp.float32)
         comp = ro.density2outputs(density, colors, que_depth)
 
         outputs = {

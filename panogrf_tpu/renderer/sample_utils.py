@@ -34,11 +34,9 @@ def sample_pdf(bins: Array, weights: Array, n_samples: int,
     else:
         u = jax.random.uniform(rng, (*cdf.shape[:-1], n_samples))
 
-    lead = cdf.shape[:-1]
-    flat_cdf = cdf.reshape(-1, cdf.shape[-1])
-    flat_u = u.reshape(-1, n_samples)
-    inds = jax.vmap(lambda c, x: jnp.searchsorted(c, x, side="right"))(
-        flat_cdf, flat_u).reshape(*lead, n_samples)
+    # Comparison-count searchsorted (see render_ops.sample_fine_depth).
+    inds = jnp.sum((cdf[..., None, :] <= u[..., :, None]).astype(jnp.int32),
+                   axis=-1)
     below = jnp.maximum(inds - 1, 0)
     above = jnp.minimum(inds, cdf.shape[-1] - 1)
 
