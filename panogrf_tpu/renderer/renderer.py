@@ -227,6 +227,39 @@ class NeuralRayGenRenderer(nn.Module):
                 outputs[k + "_fine"] = v
         return outputs
 
+    def render_rays_diner(self, ref_data: dict, coords: Array,
+                          que_c2w: Array, que_depth_range: Array,
+                          ref_depth_range: Array,
+                          n_candidates: int = 128, n_gaussian: int = 8,
+                          depth_diff_max: float = 0.05,
+                          diner_sigma: float = 0.0,
+                          rng: Optional[jax.Array] = None) -> dict:
+        """DINER occlusion-aware depth-guided rendering (reference
+        ``renderer.py:570-597`` + ``original_depth_guided_sample.py``).
+
+        ``ref_data`` additionally needs ``mvs_depth`` and ``mvs_uncert``
+        maps.  Candidates are shortlisted by MVS surface likelihood and the
+        selected depths rendered with the coarse decoder.
+        """
+        from panogrf_tpu.renderer.diner import (project_depth_info,
+                                                sample_depthguided)
+        conv = self.convention
+        qn, rn, _ = coords.shape
+        cand, _ = ro.sample_depth(qn, rn, n_candidates, self.min_depth,
+                                  self.max_depth, use_disp=False)
+        directions = conv.ray_directions(self.height, self.width)
+        que_pts, _ = ro.depth2points_spherical(coords, cand, que_c2w,
+                                               directions)
+        prj = project_depth_info(ref_data, que_pts, conv)
+        que_depth = sample_depthguided(
+            cand, prj, self.depth_sample_num, n_gaussian, self.min_depth,
+            self.max_depth, depth_diff_max, diner_sigma, rng)
+        outputs = self.render_by_depth(que_depth, coords, que_c2w,
+                                       que_depth_range, ref_data,
+                                       ref_depth_range, is_fine=False)
+        # reference appends '_fine' suffixes for the loss/metric stack
+        return {**outputs, **{k + "_fine": v for k, v in outputs.items()}}
+
     # ------------------------------------------------------------------
     # depth-loss head
     # ------------------------------------------------------------------
