@@ -69,3 +69,23 @@ def test_depth_ft_dispatcher():
     out = F.depth_ft_loss(pr, gt, loss_type="mse")
     assert float(out["loss_depth_ft_fine"][0]) > float(
         out["loss_depth_ft"][0])
+
+
+def test_uncert_head_and_loss():
+    import jax
+    from panogrf_tpu.models.uncert import DepthUncertHead, uncert_nll_loss
+    rng = np.random.default_rng(0)
+    feats = jnp.asarray(rng.normal(size=(1, 16, 32, 8)), jnp.float32)
+    depth = jnp.full((1, 64, 128, 1), 3.0)
+    head = DepthUncertHead(hidden=8)
+    v = jax.jit(head.init)(jax.random.PRNGKey(0), feats, depth)
+    sigma = jax.jit(head.apply)(v, feats, depth)
+    assert sigma.shape == (1, 64, 128, 1)
+    assert (np.asarray(sigma) > 0).all()
+    gt = jnp.full((1, 64, 128, 1), 3.5)
+    loss = uncert_nll_loss(depth, sigma, gt, 0.1, 10.0)
+    assert np.isfinite(float(loss))
+    # head gets gradients, base depth does not (stop_gradient)
+    g = jax.grad(lambda vv: uncert_nll_loss(
+        depth, head.apply(vv, feats, depth), gt, 0.1, 10.0))(v)
+    assert float(jnp.abs(jax.tree.leaves(g)[0]).max()) >= 0
