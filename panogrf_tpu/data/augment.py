@@ -1,0 +1,67 @@
+"""Panorama training augmentations.
+
+Reference ``data_readers/habitat_data_neuray_ft_lmdb.py:56-84,112-194``:
+yaw roll (circular longitude shift with consistent pose rotation),
+left-right flip, and photometric jitter (gamma / brightness / color,
+``habitat_data_neuray_ft.py:617-629``).  All jnp, batched over views so the
+same transform applies consistently to every view of a sample.
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+
+def yaw_roll(sample: dict, shift_px: int) -> dict:
+    """Circularly shift all panos by ``shift_px`` columns and rotate the
+    world by the same yaw so poses stay consistent."""
+    w = sample["rgb_panos"].shape[2]
+    ang = 2.0 * math.pi * shift_px / w
+    c, s = math.cos(ang), math.sin(ang)
+    # m3d convention: yaw about the +y axis
+    r_yaw = jnp.asarray([[c, 0.0, s], [0.0, 1.0, 0.0], [-s, 0.0, c]],
+                        jnp.float32)
+    out = dict(sample)
+    out["rgb_panos"] = jnp.roll(sample["rgb_panos"], shift_px, axis=2)
+    out["depth_panos"] = jnp.roll(sample["depth_panos"], shift_px, axis=2)
+    # w2c' = R_cam_shift @ w2c: shifting pixels = rotating the camera.
+    out["rots"] = jnp.einsum("ij,vjk->vik", r_yaw, sample["rots"])
+    return out
+
+
+def photometric_jitter(sample: dict, rng: jax.Array,
+                       gamma_range=(0.8, 1.2), bright_range=(0.8, 1.2),
+                       color_range=(0.9, 1.1)) -> dict:
+    """Consistent gamma/brightness/per-channel color jitter across views."""
+    k1, k2, k3 = jax.random.split(rng, 3)
+    gamma = jax.random.uniform(k1, (), minval=gamma_range[0],
+                               maxval=gamma_range[1])
+    bright = jax.random.uniform(k2, (), minval=bright_range[0],
+                                maxval=bright_range[1])
+    color = jax.random.uniform(k3, (3,), minval=color_range[0],
+                               maxval=color_range[1])
+    out = dict(sample)
+    rgb = jnp.clip(sample["rgb_panos"], 1e-4, 1.0)
+    rgb = rgb ** gamma * bright * color
+    out["rgb_panos"] = jnp.clip(rgb, 0.0, 1.0)
+    return out
+
+
+def augment_sample(sample: dict, rng: jax.Array,
+                   max_shift: int | None = None) -> dict:
+    """Full training augmentation: yaw roll + photometric jitter.
+
+    (Left-right flip is intentionally excluded by default: it mirrors the
+    world and requires flipping pose handedness; the reference applies it
+    only in the LMDB depth-training path.)
+    """
+    w = sample["rgb_panos"].shape[2]
+    k1, k2 = jax.random.split(rng)
+    shift = int(jax.random.randint(k1, (), 0, max_shift or w))
+    out = yaw_roll(sample, shift)
+    return photometric_jitter(out, k2)

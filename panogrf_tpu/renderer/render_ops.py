@@ -218,11 +218,18 @@ def project_points_dict(ref_data: dict, que_pts: Array,
                                1e-5)
 
     xy_vm = jnp.swapaxes(prj_xy, 0, 1)                        # (rfn, pn, 2)
-    prj_ray_feats = interpolate_feats_pointmajor(
-        ref_data["ray_feats"], xy_vm, h, w)
     prj_rgb = interpolate_feats_pointmajor(ref_data["imgs"], xy_vm, h, w)
-    prj_img_feats = interpolate_feats_pointmajor(
-        ref_data["img_feats"], xy_vm, h, w)
+    if "merged_feats" in ref_data:
+        nd = ref_data["ray_feats"].shape[-1]
+        merged = interpolate_feats_pointmajor(
+            ref_data["merged_feats"], xy_vm, h, w)
+        prj_ray_feats = merged[..., :nd]
+        prj_img_feats = merged[..., nd:]
+    else:
+        prj_ray_feats = interpolate_feats_pointmajor(
+            ref_data["ray_feats"], xy_vm, h, w)
+        prj_img_feats = interpolate_feats_pointmajor(
+            ref_data["img_feats"], xy_vm, h, w)
 
     def rs(t):
         return t.reshape(qn, rn, dn, rfn, -1)

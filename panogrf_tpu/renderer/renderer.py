@@ -105,9 +105,20 @@ class NeuralRayGenRenderer(nn.Module):
         ray_feats0 = self.init_net(ref_imgs, mvs_depth)
         ray_feats = self.vis_encoder(ray_feats0, img_feats)
         dt = jnp.dtype(self.compute_dtype)
-        return {"imgs": ref_imgs.astype(dt),
-                "img_feats": img_feats.astype(dt),
-                "ray_feats": ray_feats.astype(dt), "mvs_depth": mvs_depth}
+        out = {"imgs": ref_imgs.astype(dt),
+               "img_feats": img_feats.astype(dt),
+               "ray_feats": ray_feats.astype(dt), "mvs_depth": mvs_depth}
+        # Pre-merge ray+image features into one map: per-sample gathers are
+        # latency-bound on TPU, so one 64-ch gather beats two 32-ch ones.
+        # Ray features are bilinearly upsampled to the img-feats grid (the
+        # maps are bilinearly sampled downstream anyway).
+        from panogrf_tpu.nn.blocks import resize_linear
+        rf_up = resize_linear(out["ray_feats"],
+                              (img_feats.shape[1], img_feats.shape[2]),
+                              axes=(1, 2))
+        out["merged_feats"] = jnp.concatenate(
+            [rf_up, out["img_feats"]], axis=-1)
+        return out
 
     # ------------------------------------------------------------------
     # core pass

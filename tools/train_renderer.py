@@ -26,6 +26,8 @@ def main():
     ap.add_argument("--shards", default=None)
     ap.add_argument("--steps", type=int, default=None)
     ap.add_argument("--gt-depth", action="store_true", default=True)
+    ap.add_argument("--pool", type=int, default=16,
+                    help="procedural scene pool size (no-shards mode)")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
@@ -61,6 +63,17 @@ def main():
     rng = np.random.default_rng(cfg.train.seed)
     reader = ShardReader(args.shards) if args.shards else None
 
+    # Without shards, pre-render a pool of procedural scenes once: per-step
+    # eager scene ray-tracing costs seconds on this box (eager dispatch
+    # ~4ms/op), so the pool keeps the TPU busy with training, not data gen.
+    pool = []
+    if reader is None:
+        for i in range(args.pool):
+            scene = SphereScene.random(int(rng.integers(1 << 30)))
+            s = make_three_view_sample(scene, H, W, cfg.data.m3d_dist,
+                                       seed=i)
+            pool.append(jax.tree.map(jnp.asarray, s))
+
     def batches():
         i = 0
         while True:
@@ -68,9 +81,7 @@ def main():
                 s = {k: jnp.asarray(v) for k, v in
                      reader[int(rng.integers(len(reader)))].items()}
             else:
-                scene = SphereScene.random(int(rng.integers(1 << 30)))
-                s = make_three_view_sample(scene, H, W, cfg.data.m3d_dist,
-                                           seed=i)
+                s = pool[int(rng.integers(len(pool)))]
             coords = imgs_info.sample_train_coords(rng, H, W, 512)
             data = imgs_info.build_render_sample(
                 s, coords, (R.min_depth, R.max_depth))
