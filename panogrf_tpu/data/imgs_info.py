@@ -75,6 +75,20 @@ def full_image_coords(height: int, width: int) -> Array:
     return jnp.asarray(np.stack([xs, ys], -1).reshape(1, -1, 2), jnp.float32)
 
 
+def build_render_sample_mv(sample: dict, coords: Array, ref_ids,
+                           que_id: int,
+                           render_depth_range=(0.5, 15.0)) -> dict:
+    """Multi-view (V>2) variant (reference ``*_mv`` twins,
+    ``get_database_split_mv``): arbitrary reference set + query view; each
+    reference's MVS source views are the remaining references."""
+    ref_info = build_imgs_info(sample, ref_ids, render_depth_range)
+    que_info = build_imgs_info(sample, [que_id], render_depth_range)
+    que_w2c = que_info.pop("w2c")
+    que_info["c2w"] = c2w_from_w2c(que_w2c)[0]
+    que_info["coords"] = coords
+    return {"ref_imgs_info": ref_info, "que_imgs_info": que_info}
+
+
 def build_render_sample(sample: dict, coords: Array,
                         render_depth_range=(0.5, 15.0),
                         src_for_mvs: bool = True) -> dict:

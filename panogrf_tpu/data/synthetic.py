@@ -68,9 +68,39 @@ def _room_texture(dirs: Array) -> Array:
     return jnp.clip(jnp.stack([r, g, b], axis=-1), 0.0, 1.0)
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=8)
+def _render_jit(height: int, width: int, conv_name: str):
+    """Jitted renderer core (eager op dispatch costs ~4ms each on this box,
+    and hundreds of ops per pano would dominate data generation)."""
+    def run(centers, radii, colors, room_radius, cam_pos, cam_rot):
+        class _S:  # lightweight scene namespace for _render_impl
+            pass
+        s = _S()
+        s.centers, s.radii, s.colors = centers, radii, colors
+        s.room_radius = room_radius
+        return _render_impl(s, cam_pos, cam_rot, height, width,
+                            get_convention(conv_name))
+    return jax.jit(run, static_argnames=())
+
+
 def render_panorama(scene: SphereScene, cam_pos: Array, cam_rot: Array,
                     height: int, width: int,
                     convention: SphereConvention | str = "m3d") -> tuple:
+    """Jitted entry point; see :func:`_render_impl` for the math."""
+    name = convention if isinstance(convention, str) else convention.name
+    fn = _render_jit(height, width, name)
+    return fn(scene.centers, scene.radii, scene.colors,
+              jnp.asarray(scene.room_radius, jnp.float32),
+              jnp.asarray(cam_pos, jnp.float32),
+              jnp.asarray(cam_rot, jnp.float32))
+
+
+def _render_impl(scene, cam_pos: Array, cam_rot: Array,
+                 height: int, width: int,
+                 convention: SphereConvention | str = "m3d") -> tuple:
     """Ray-trace one ERP view.
 
     :param cam_pos: (3,) world position; cam_rot: (3, 3) world-from-camera
@@ -105,6 +135,33 @@ def render_panorama(scene: SphereScene, cam_pos: Array, cam_rot: Array,
     rgb = jnp.take_along_axis(
         all_rgb, idx[None, ..., None].repeat(3, -1), axis=0)[0]
     return rgb, t[..., None]
+
+
+def make_multi_view_sample(scene: SphereScene, height: int, width: int,
+                           num_views: int, spacing: float = 0.5,
+                           seed: int = 0, convention: str = "m3d") -> dict:
+    """V-view variant of the 3-view protocol (reference ``*_mv`` data
+    twins): cameras spaced along the shared z axis, common yaw."""
+    rng = np.random.default_rng(seed)
+    yaw = rng.uniform(0, 2 * np.pi)
+    cy, sy = np.cos(yaw), np.sin(yaw)
+    rot_c2w = jnp.asarray([[cy, 0, -sy], [0, 1, 0], [sy, 0, cy]],
+                          jnp.float32)
+    base = jnp.asarray(rng.uniform(-1.0, 1.0, size=3), jnp.float32)
+    z_axis = rot_c2w[:, 2]
+    offsets = (np.arange(num_views) - (num_views - 1) / 2.0) * spacing
+    rgbs, depths, rots, trans = [], [], [], []
+    for off in offsets:
+        p = base + float(off) * z_axis
+        rgb, d = render_panorama(scene, p, rot_c2w, height, width,
+                                 convention)
+        rgbs.append(rgb)
+        depths.append(d)
+        r_w2c = rot_c2w.T
+        rots.append(r_w2c)
+        trans.append(-r_w2c @ p)
+    return {"rgb_panos": jnp.stack(rgbs), "depth_panos": jnp.stack(depths),
+            "rots": jnp.stack(rots), "trans": jnp.stack(trans)}
 
 
 def make_three_view_sample(scene: SphereScene, height: int, width: int,

@@ -110,3 +110,23 @@ def test_renderer_perspective_query():
         method=NeuralRayGenRenderer.render_rays))(params)
     assert out["pixel_colors_nr_fine"].shape == (1, 8, 3)
     assert np.isfinite(np.asarray(out["pixel_colors_nr_fine"])).all()
+
+
+def test_multi_view_sample_and_builder():
+    from panogrf_tpu.data.synthetic import (SphereScene,
+                                            make_multi_view_sample)
+    from panogrf_tpu.data import imgs_info
+    s = make_multi_view_sample(SphereScene.random(1), H, W, num_views=5,
+                               spacing=0.3, seed=2)
+    assert s["rgb_panos"].shape == (5, H, W, 3)
+    coords = imgs_info.sample_train_coords(
+        np.random.default_rng(0), H, W, 16)
+    data = imgs_info.build_render_sample_mv(s, coords, ref_ids=[0, 2, 4],
+                                            que_id=1)
+    assert data["ref_imgs_info"]["imgs"].shape == (3, H, W, 3)
+    assert data["que_imgs_info"]["coords"].shape == (1, 16, 2)
+    # camera spacing along z: consecutive centers 0.3 apart
+    centers = [-np.asarray(r).T @ np.asarray(t)
+               for r, t in zip(s["rots"], s["trans"])]
+    for a, b in zip(centers[:-1], centers[1:]):
+        np.testing.assert_allclose(np.linalg.norm(b - a), 0.3, atol=1e-5)

@@ -40,6 +40,10 @@ def main():
     ap.add_argument("--depth-width", type=int, default=256)
     ap.add_argument("--m3d-dist", type=float, default=0.5)
     ap.add_argument("--out", default="data/render_out")
+    ap.add_argument("--pose-type", default="eval", choices=["eval", "inter"],
+                    help="'eval': held-out query view (with metrics); "
+                         "'inter': interpolated path between refs (video)")
+    ap.add_argument("--inter-num", type=int, default=12)
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
@@ -79,6 +83,8 @@ def main():
             Path(args.ckpt).absolute(), params)
         print(f"restored {args.ckpt}")
 
+    from panogrf_tpu.renderer import poses as P
+
     all_m = []
     for qi in range(args.num):
         scene = SphereScene.random(9000 + qi)
@@ -88,6 +94,23 @@ def main():
         ref_info["mvs_depth"] = resize_linear(
             s["depth_panos"][jnp.asarray(imgs_info.REF_IDS)], (DH, DW),
             axes=(1, 2))
+
+        if args.pose_type == "inter":
+            w2c_all = np.asarray(imgs_info.pose_w2c(s["rots"], s["trans"]))
+            c2w_all = np.asarray(imgs_info.c2w_from_w2c(
+                jnp.asarray(w2c_all)))
+            path = P.prepare_render_info(c2w_all, "inter",
+                                         inter_num=args.inter_num)
+            ref_data = full_render.prepare_ref_data(model, params, ref_info)
+            for fi, c2w in enumerate(path):
+                out = full_render.render_image(
+                    model, params, ref_info, jnp.asarray(c2w),
+                    data["que_imgs_info"]["depth_range"],
+                    chunk=min(8192, H * W), ref_data=ref_data)
+                save_image(out_dir / f"{qi}-frame{fi:03d}.png", out["rgb"])
+            print(f"[{qi}] wrote {len(path)} path frames")
+            continue
+
         t0 = time.perf_counter()
         out = full_render.render_image(
             model, params, ref_info, data["que_imgs_info"]["c2w"],
@@ -103,9 +126,10 @@ def main():
         save_image(out_dir / f"{qi}-gt.png", gt)
         print(f"[{qi}] " + " ".join(f"{k}={v:.3f}" for k, v in m.items()))
 
-    mean = {k: float(np.mean([m[k] for m in all_m])) for k in all_m[0]}
-    (out_dir / "metric.txt").write_text(json.dumps(mean, indent=2))
-    print("mean:", json.dumps(mean))
+    if all_m:
+        mean = {k: float(np.mean([m[k] for m in all_m])) for k in all_m[0]}
+        (out_dir / "metric.txt").write_text(json.dumps(mean, indent=2))
+        print("mean:", json.dumps(mean))
 
 
 if __name__ == "__main__":
