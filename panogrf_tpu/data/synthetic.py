@@ -36,8 +36,14 @@ class SphereScene:
     def random(seed: int = 0, num: int = 12,
                room_radius: float = 8.0) -> "SphereScene":
         rng = np.random.default_rng(seed)
-        centers = rng.uniform(-4.0, 4.0, size=(num, 3))
+        # Keep every sphere clear of the camera spawn region (|p| <= ~1.8,
+        # see make_*_view_sample): a camera inside an object sees its
+        # interior and the views become photo-inconsistent.
+        dirs = rng.normal(size=(num, 3))
+        dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
         radii = rng.uniform(0.4, 1.2, size=(num,))
+        dist = rng.uniform(2.2, 5.5, size=(num,)) + radii
+        centers = dirs * dist[:, None]
         colors = rng.uniform(0.1, 1.0, size=(num, 3))
         return SphereScene(jnp.asarray(centers, jnp.float32),
                            jnp.asarray(radii, jnp.float32),

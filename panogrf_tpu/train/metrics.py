@@ -47,9 +47,13 @@ def _filter2d_sep(img: Array, k: Array) -> Array:
         x = jnp.moveaxis(x, axis, -1)
         shape = x.shape
         flat = x.reshape(-1, 1, shape[-1])
+        # HIGHEST precision: TPU convs default to bf16 inputs, and the
+        # E[x^2] - mu^2 variance cancellation then produces garbage (SSIM
+        # outside [-1, 1] was observed).
         out = jax.lax.conv_general_dilated(
             flat, k.reshape(1, 1, -1), (1,), "VALID",
-            dimension_numbers=("NCH", "OIH", "NCH"))
+            dimension_numbers=("NCH", "OIH", "NCH"),
+            precision=jax.lax.Precision.HIGHEST)
         out = out.reshape(*shape[:-1], -1)
         return jnp.moveaxis(out, -1, axis)
     return conv_axis(conv_axis(img, 0), 1)
