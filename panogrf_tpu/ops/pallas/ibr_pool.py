@@ -33,10 +33,6 @@ Array = jax.Array
 LANES = 128
 
 
-def _pad_cols(x, n=LANES):
-    return jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, n - x.shape[-1])])
-
-
 def _pad_mat(w, rows=LANES, cols=LANES):
     rows = max(rows, w.shape[0])
     return jnp.pad(w, ((0, rows - w.shape[0]), (0, cols - w.shape[1])))
@@ -93,7 +89,6 @@ def _kernel(num_views,
         nh = _dot(nh, nr_w2[:]) + nr_b2[:]
         w0.append(_sigmoid(nh[:, 0:1]) * weight[i])
 
-    w0sum = sum(w0)  # not normalized in reference; used as-is
     mean0 = sum(rgb_feat[i] * w0[i] for i in range(v))
     var0 = sum(((rgb_feat[i] - mean0) ** 2) * w0[i] for i in range(v))
     mean1 = sum(rgb_feat[i] * weight[i] for i in range(v))

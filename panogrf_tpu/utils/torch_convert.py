@@ -187,6 +187,98 @@ def convert_unifuse(torch_sd: Dict[str, Array],
     return {"params": params, "batch_stats": stats}
 
 
+def t2f_conv3d(w: Array) -> Array:
+    """Torch conv3d (O, I, kD, kH, kW) -> flax (kD, kH, kW, I, O)."""
+    return np.transpose(w, (2, 3, 4, 1, 0))
+
+
+# Equi decoder ModuleList order (reference ``models/my_equi.py:74-91``) ==
+# the call order of my ConvELU_{i} modules in models/unifuse.Equi.
+_EQUI_DECODER_ORDER = ["upconv_5", "deconv_4", "upconv_4", "deconv_3",
+                       "upconv_3", "deconv_2", "upconv_2"]
+
+
+def convert_equi(sd: Dict[str, Array], prefix: str = "unet") -> tuple:
+    """Equi feature net -> flax ``models.unifuse.Equi`` subtree.
+
+    :return: (params, batch_stats) for the Equi module scope.
+    """
+    params: dict = {}
+    stats: dict = {}
+    p, s = convert_resnet_encoder(sd, f"{prefix}.equi_encoder")
+    params["equi_encoder"] = p
+    stats["equi_encoder"] = s
+    for i in range(len(_EQUI_DECODER_ORDER)):
+        t = f"{prefix}.equi_decoder.{i}.conv.conv"
+        params[f"ConvELU_{i}"] = {"Conv_0": {
+            "kernel": t2f_conv(sd[f"{t}.weight"]),
+            "bias": sd[f"{t}.bias"]}}
+    return params, stats
+
+
+def convert_mvs(torch_sd: Dict[str, Array],
+                cnn3d_num_layer: int = 3) -> dict:
+    """FullPipeline (MVS) checkpoint -> flax variables for
+    :class:`panogrf_tpu.models.mvs.MVSDepthModel`.
+
+    Covers the shipped ``net: "Equi"`` + 3-layer Conv3D UNet configuration
+    (reference ``models/test_models.py:61-205``).  The frozen ``d_net.*``
+    keys are the mono network — extract with :func:`extract_dnet` and feed
+    :func:`convert_unifuse`.
+    """
+    sd = strip_module_prefix(torch_sd)
+    params: dict = {}
+    stats: dict = {}
+
+    fp, fs = convert_equi(sd, "unet")
+    params["feature_net"] = fp
+    stats["feature_net"] = fs
+
+    # unet3d: torch forward order = encoders 0..n, then decoders[-1],
+    # decoders[n-2] .. decoders[0]; my Conv3DBlock_{i} follow call order.
+    def conv3d_block(tkey):
+        return {
+            "WrapConv3D_0": {"Conv_0": {
+                "kernel": t2f_conv3d(sd[f"{tkey}.conv1.weight"]),
+                "bias": sd[f"{tkey}.conv1.bias"]}},
+            "WrapConv3D_1": {"Conv_0": {
+                "kernel": t2f_conv3d(sd[f"{tkey}.conv2.weight"]),
+                "bias": sd[f"{tkey}.conv2.bias"]}},
+        }
+
+    u3 = {}
+    n = cnn3d_num_layer
+    for i in range(n + 1):                      # encoders incl. bottleneck
+        u3[f"Conv3DBlock_{i}"] = conv3d_block(f"unet3d.encoders.{i}")
+    # decoders: flax index n+1.. maps to torch decoders [n-1, n-2, ..., 0]
+    for j, tdec in enumerate(range(n - 1, -1, -1)):
+        u3[f"Conv3DBlock_{n + 1 + j}"] = conv3d_block(
+            f"unet3d.decoders.{tdec}")
+    params["unet3d"] = u3
+
+    params["decoders1"] = {
+        "kernel": t2f_conv(sd["decoders1.conv.weight"]),
+        "bias": sd["decoders1.conv.bias"]}
+    for i in range(3):
+        params[f"decoders2_{i}"] = {
+            "WrapConv_0": {"Conv_0": {
+                "kernel": t2f_conv(sd[f"decoders2.{i}.conv1.weight"]),
+                "bias": sd[f"decoders2.{i}.conv1.bias"]}},
+            "WrapConv_1": {"Conv_0": {
+                "kernel": t2f_conv(sd[f"decoders2.{i}.conv2.weight"]),
+                "bias": sd[f"decoders2.{i}.conv2.bias"]}},
+        }
+    return {"params": params, "batch_stats": stats}
+
+
+def extract_dnet(torch_sd: Dict[str, Array]) -> Dict[str, Array]:
+    """Pull the frozen mono sub-checkpoint (``d_net.*``) out of an MVS
+    checkpoint for :func:`convert_unifuse`."""
+    sd = strip_module_prefix(torch_sd)
+    return {k[len("d_net."):]: v for k, v in sd.items()
+            if k.startswith("d_net.")}
+
+
 def verify_tree_shapes(converted: dict, reference_tree: dict,
                        path: str = "") -> list:
     """Compare converted arrays against an initialized flax tree.

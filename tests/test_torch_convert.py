@@ -125,3 +125,79 @@ def test_strip_module_prefix():
     sd = {"module.a.weight": np.zeros(1), "b.bias": np.ones(1)}
     out = tc.strip_module_prefix(sd)
     assert set(out) == {"a.weight", "b.bias"}
+
+
+def _fake_mvs_sd(rng, base=8, feat_ch=32):
+    """Synthetic FullPipeline state dict (Equi + 3-layer Conv3D UNet)."""
+    sd = _fake_resnet18_sd("unet.equi_encoder", rng)
+
+    def conv(k, o, i, s=3):
+        sd[f"{k}.weight"] = rng.normal(size=(o, i, s, s)).astype(np.float32)
+        sd[f"{k}.bias"] = np.zeros(o, np.float32)
+
+    def conv3(k, o, i):
+        sd[f"{k}.weight"] = rng.normal(size=(o, i, 3, 3, 3)).astype(
+            np.float32)
+        sd[f"{k}.bias"] = np.zeros(o, np.float32)
+
+    # Equi decoder ConvBlocks (upconv_5 .. upconv_2)
+    dims = [(512, 256), (256 + 256, 256), (256, 128), (128 + 128, 128),
+            (128, 64), (64 + 64, 64), (64, 32)]
+    for i, (cin, cout) in enumerate(dims):
+        conv(f"unet.equi_decoder.{i}.conv.conv", cout, cin)
+
+    # unet3d encoders (in 32 -> 2b,4b,8b,16b with base b) + decoders
+    b = base
+    chans = [(feat_ch, 2 * b), (2 * b, 4 * b), (4 * b, 8 * b),
+             (8 * b, 16 * b)]
+    for i, (ci, co) in enumerate(chans):
+        conv3(f"unet3d.encoders.{i}.conv1", co, ci)
+        conv3(f"unet3d.encoders.{i}.conv2", co, co)
+    decs = [(4 * b, 1), (8 * b, 2 * b), (16 * b, 4 * b)]
+    for i, (ci, co) in enumerate(decs):
+        conv3(f"unet3d.decoders.{i}.conv1", co, ci)
+        conv3(f"unet3d.decoders.{i}.conv2", co, co)
+
+    conv("decoders1.conv", 1, 8, 1)
+    # decoders2: (64hyp... use 8 hyps + 32 mono feat) -> 32 -> 16 -> 1
+    conv("decoders2.0.conv1", 32, 8 + 32)
+    conv("decoders2.0.conv2", 32, 32)
+    conv("decoders2.1.conv1", 16, 32)
+    conv("decoders2.1.conv2", 16, 16)
+    conv("decoders2.2.conv1", 1, 16)
+    conv("decoders2.2.conv2", 1, 1)
+    # frozen mono keys that extract_dnet should pull out
+    sd["d_net.equi_encoder.conv1.weight"] = np.zeros((64, 3, 7, 7),
+                                                     np.float32)
+    return sd
+
+
+def test_convert_mvs_shapes_and_forward():
+    import jax
+    import jax.numpy as jnp
+    from panogrf_tpu.models.mvs import MVSDepthModel
+    rng = np.random.default_rng(1)
+    sd = _fake_mvs_sd(rng)
+    converted = tc.convert_mvs(sd)
+    assert "d_net" not in str(list(converted["params"]))
+
+    model = MVSDepthModel(num_hypotheses=8, cnn3d_base=8)
+    args = (jnp.zeros((1, 2, 32, 64, 3)),
+            jnp.broadcast_to(jnp.eye(3), (1, 2, 3, 3)),
+            jnp.zeros((1, 2, 3)), jnp.full((1, 32, 64, 1), 3.0),
+            jnp.zeros((1, 16, 32, 32)))
+    init_vars = jax.jit(model.init)(jax.random.PRNGKey(0), *args)
+    problems = tc.verify_tree_shapes(converted["params"],
+                                     init_vars["params"])
+    assert not problems, problems[:10]
+    converted["batch_stats"] = init_vars["batch_stats"] if not converted[
+        "batch_stats"] else converted["batch_stats"]
+    problems = tc.verify_tree_shapes(converted["batch_stats"],
+                                     init_vars["batch_stats"])
+    # Equi encoder uses BN: stats must match too
+    assert not problems, problems[:10]
+    out = jax.jit(model.apply)(jax.tree.map(jnp.asarray, converted), *args)
+    assert np.isfinite(np.asarray(out["depth"])).all()
+
+    dnet = tc.extract_dnet(sd)
+    assert "equi_encoder.conv1.weight" in dnet
