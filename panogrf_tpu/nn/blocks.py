@@ -17,7 +17,7 @@ factors so shapes stay fully static under jit.
 
 from __future__ import annotations
 
-from typing import Any, Callable, Sequence
+from typing import Sequence
 
 import jax
 import jax.numpy as jnp
