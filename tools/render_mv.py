@@ -31,6 +31,9 @@ def main():
     ap.add_argument("--depth-width", type=int, default=256)
     ap.add_argument("--spacing", type=float, default=0.4)
     ap.add_argument("--out", default="data/render_mv_out")
+    ap.add_argument("--chunk", type=int, default=2048,
+                    help="ray chunk; rfn=3 at chunk 8192 trips a TPU "
+                         "compiler register-allocation RET_CHECK bug")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
@@ -78,7 +81,8 @@ def main():
                 print(f"restored {args.ckpt}")
         out = full_render.render_image(
             model, params, ref_info, data["que_imgs_info"]["c2w"],
-            data["que_imgs_info"]["depth_range"], chunk=min(8192, H * W))
+            data["que_imgs_info"]["depth_range"],
+            chunk=min(args.chunk, H * W))
         gt = s["rgb_panos"][args.que_idx]
         m = {k: float(v) for k, v in M.render_metrics(out["rgb"],
                                                       gt).items()}
