@@ -55,7 +55,7 @@ def main():
 
     c2w = data["que_imgs_info"]["c2w"]
     qdr = data["que_imgs_info"]["depth_range"]
-    chunk = 4096 if not on_cpu else 2048
+    chunk = 2048  # VMEM sweet spot: 8.6s/frame vs 9.9s at 4096, 12s at 32768
 
     ref_data = full_render.prepare_ref_data(model, params, ref_info)
 
