@@ -25,6 +25,13 @@ def make_mesh(n_devices: Optional[int] = None, data: int = 1,
     """Mesh over the first ``n_devices`` devices, shaped (data, ray)."""
     devs = jax.devices()
     n = n_devices or len(devs)
+    if len(devs) < n:
+        raise ValueError(
+            f"make_mesh needs {n} devices but jax.devices() has {len(devs)} "
+            f"({[d.platform for d in devs]}); for a virtual CPU mesh set "
+            f'jax.config.update("jax_platforms","cpu") and '
+            f'jax.config.update("jax_num_cpu_devices", {n}) BEFORE backend '
+            f"init (env vars are overridden by the axon plugin)")
     devs = np.asarray(devs[:n]).reshape(data, n // data)
     return Mesh(devs, axis_names)
 
