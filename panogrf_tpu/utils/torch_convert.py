@@ -279,6 +279,242 @@ def extract_dnet(torch_sd: Dict[str, Array]) -> Dict[str, Array]:
             if k.startswith("d_net.")}
 
 
+# ---------------------------------------------------------------------------
+# renderer checkpoint (reference ``data/model/{name}/model.pth``)
+# ---------------------------------------------------------------------------
+
+def _conv3x3_key(sd: Dict[str, Array], base: str) -> str:
+    """conv3x3 may be Sequential(WrapPadding, Conv2d) ('.1.weight') or a bare
+    Conv2d ('.weight') depending on use_wrap_padding (reference
+    ``network/ops.py:6-17``)."""
+    if f"{base}.1.weight" in sd:
+        return f"{base}.1"
+    return base
+
+
+def _inorm(sd: Dict[str, Array], key: str) -> dict:
+    """InstanceNorm2d(affine=True) -> flax InstanceNorm/GroupNorm params."""
+    return {"GroupNorm_0": {"scale": sd[f"{key}.weight"],
+                            "bias": sd[f"{key}.bias"]}}
+
+
+def _wconv(sd: Dict[str, Array], base: str, bias: bool = False) -> dict:
+    """conv3x3/stem conv -> flax WrapConv {Conv_0: {...}} subtree."""
+    k = _conv3x3_key(sd, base)
+    p = {"kernel": t2f_conv(sd[f"{k}.weight"])}
+    if bias or f"{k}.bias" in sd:
+        p["bias"] = sd[f"{k}.bias"]
+    return {"Conv_0": p}
+
+
+def _residual_block(sd: Dict[str, Array], prefix: str) -> dict:
+    """Reference ResidualBlock (``network/ops.py:61-117``, use_norm=True) ->
+    flax :class:`panogrf_tpu.nn.blocks.ResidualBlock` params.
+
+    Torch Sequential indices: wrap [IN0, ReLU, Pad, Conv3, IN4, ReLU, Pad,
+    Conv7]; no-wrap [IN0, ReLU, Conv2, IN3, ReLU, Conv5].
+    """
+    wrap = f"{prefix}.conv.3.weight" in sd
+    i_conv1, i_in2, i_conv2 = (3, 4, 7) if wrap else (2, 3, 5)
+    p = {
+        "InstanceNorm_0": _inorm(sd, f"{prefix}.conv.0"),
+        "WrapConv_0": {"Conv_0": {
+            "kernel": t2f_conv(sd[f"{prefix}.conv.{i_conv1}.weight"])}},
+        "InstanceNorm_1": _inorm(sd, f"{prefix}.conv.{i_in2}"),
+        "WrapConv_1": {"Conv_0": {
+            "kernel": t2f_conv(sd[f"{prefix}.conv.{i_conv2}.weight"])}},
+    }
+    if f"{prefix}.short_cut.weight" in sd:
+        p["Conv_0"] = {"kernel": t2f_conv(sd[f"{prefix}.short_cut.weight"]),
+                       "bias": sd[f"{prefix}.short_cut.bias"]}
+    return p
+
+
+def _basic_block(sd: Dict[str, Array], prefix: str) -> dict:
+    """Reference renderer BasicBlock (``network/ops.py:127-197``, instance
+    norm) -> flax :class:`panogrf_tpu.nn.blocks.BasicBlock` params."""
+    p = {
+        "WrapConv_0": _wconv(sd, f"{prefix}.conv1"),
+        "InstanceNorm_0": _inorm(sd, f"{prefix}.bn1"),
+        "WrapConv_1": _wconv(sd, f"{prefix}.conv2"),
+        "InstanceNorm_1": _inorm(sd, f"{prefix}.bn2"),
+    }
+    if f"{prefix}.downsample.0.weight" in sd:
+        p["Conv_0"] = {
+            "kernel": t2f_conv(sd[f"{prefix}.downsample.0.weight"])}
+        p["InstanceNorm_2"] = _inorm(sd, f"{prefix}.downsample.1")
+    return p
+
+
+def _conv_in_elu(sd: Dict[str, Array], base: str) -> dict:
+    """Reference ``conv`` module (``network/ops.py:199-223``) -> flax
+    ConvINELU params.  ``base`` is e.g. 'iconv3' (keys base.conv[.1].weight,
+    base.bn.weight)."""
+    return {"WrapConv_0": _wconv(sd, f"{base}.conv", bias=True),
+            "InstanceNorm_0": _inorm(sd, f"{base}.bn")}
+
+
+def convert_resunet_light(sd: Dict[str, Array], prefix: str,
+                          layers=(2, 3, 6)) -> dict:
+    """Reference renderer ResUNetLight (``network/ops.py:235-455``) -> flax
+    :class:`panogrf_tpu.nn.blocks.ResUNetLight` params.
+
+    :param layers: BasicBlock counts of the three stride-2 stages (the
+        torch module ignores a 4th entry).
+    """
+    p: dict = {}
+    stem = _conv3x3_key(sd, f"{prefix}.conv1")
+    p["Conv_0"] = {"kernel": t2f_conv(sd[f"{stem}.weight"])}
+    p["InstanceNorm_0"] = _inorm(sd, f"{prefix}.bn1")
+    blk = 0
+    for li, nblocks in enumerate(layers, start=1):
+        for bi in range(nblocks):
+            p[f"BasicBlock_{blk}"] = _basic_block(sd,
+                                                  f"{prefix}.layer{li}.{bi}")
+            blk += 1
+    p["UpconvINELU_0"] = {"ConvINELU_0": _conv_in_elu(
+        sd, f"{prefix}.upconv3.conv")}
+    p["ConvINELU_0"] = _conv_in_elu(sd, f"{prefix}.iconv3")
+    p["UpconvINELU_1"] = {"ConvINELU_0": _conv_in_elu(
+        sd, f"{prefix}.upconv2.conv")}
+    p["ConvINELU_1"] = _conv_in_elu(sd, f"{prefix}.iconv2")
+    p["Conv_1"] = {"kernel": t2f_conv(sd[f"{prefix}.out_conv.weight"]),
+                   "bias": sd[f"{prefix}.out_conv.bias"]}
+    return p
+
+
+def _conv_res_conv(sd: Dict[str, Array], prefix: str,
+                   num_res: int = 1) -> dict:
+    """conv3x3 -> ResidualBlock(s) -> conv1x1 stacks (reference
+    ``init_net.py:539-574``, ``vis_encoder.py:17-22``) -> flax params for
+    ``_ConvResConv`` / the inline vis-encoder scope."""
+    p = {"WrapConv_0": _wconv(sd, f"{prefix}.0")}
+    for i in range(num_res):
+        p[f"ResidualBlock_{i}"] = _residual_block(sd, f"{prefix}.{1 + i}")
+    p["Conv_0"] = {
+        "kernel": t2f_conv(sd[f"{prefix}.{1 + num_res}.weight"])}
+    return p
+
+
+def _linear(sd: Dict[str, Array], key: str) -> tuple:
+    return t2f_dense(sd[f"{key}.weight"]), sd[f"{key}.bias"]
+
+
+def convert_dist_decoder(sd: Dict[str, Array], prefix: str) -> dict:
+    """MixtureLogisticsDistDecoder (``network/dist_decoder.py:53-108``) ->
+    flax :class:`MixtureLogisticsDistDecoder` params.  Each torch head is a
+    Sequential of Linears at indices 0/2/4."""
+    p: dict = {}
+    heads = ["mean_decoder", "var_decoder", "aw_decoder"]
+    if f"{prefix}.vis_decoder.0.weight" in sd:
+        heads.append("vis_decoder")
+    for head in heads:
+        hp: dict = {}
+        for i, idx in enumerate([0, 2, 4]):
+            w, b = _linear(sd, f"{prefix}.{head}.{idx}")
+            hp[f"w{i}"] = w
+            hp[f"b{i}"] = b
+        p[head] = hp
+    return p
+
+
+def convert_agg_net(sd: Dict[str, Array], prefix: str) -> dict:
+    """DefaultAggregationNet + IBRNetWithNeuRay (``aggregate_net.py:16-89``,
+    ``ibrnet.py:239-373``) -> flax :class:`DefaultAggregationNet` params."""
+    p: dict = {}
+    for i, idx in enumerate([0, 2]):
+        w, b = _linear(sd, f"{prefix}.prob_embed.{idx}")
+        p[f"prob_embed_{i}"] = {"kernel": w, "bias": b}
+
+    impl: dict = {}
+    seqs = {"ray_dir_fc": [0, 2], "base_fc": [0, 2], "vis_fc": [0, 2],
+            "vis_fc2": [0, 2], "geometry_fc": [0, 2], "neuray_fc": [0, 2],
+            "rgb_fc": [0, 2, 4]}
+    for name, idxs in seqs.items():
+        for i, idx in enumerate(idxs):
+            w, b = _linear(sd, f"{prefix}.agg_impl.{name}.{idx}")
+            impl[f"{name}_w{i}"] = w
+            impl[f"{name}_b{i}"] = b
+    out_geo: dict = {}
+    for i, idx in enumerate([0, 2]):
+        w, b = _linear(sd, f"{prefix}.agg_impl.out_geometry_fc.{idx}")
+        out_geo[f"w{i}"] = w
+        out_geo[f"b{i}"] = b
+    impl["out_geometry_fc"] = out_geo
+
+    attn = f"{prefix}.agg_impl.ray_attention"
+    impl["ray_attention"] = {
+        "w_qs": {"kernel": t2f_dense(sd[f"{attn}.w_qs.weight"])},
+        "w_ks": {"kernel": t2f_dense(sd[f"{attn}.w_ks.weight"])},
+        "w_vs": {"kernel": t2f_dense(sd[f"{attn}.w_vs.weight"])},
+        "fc": {"kernel": t2f_dense(sd[f"{attn}.fc.weight"])},
+        "LayerNorm_0": {"scale": sd[f"{attn}.layer_norm.weight"],
+                        "bias": sd[f"{attn}.layer_norm.bias"]},
+    }
+    p["agg_impl"] = impl
+    return p
+
+
+def convert_renderer(torch_sd: Dict[str, Array]) -> dict:
+    """Reference renderer ``network_state_dict`` -> flax variables for
+    :class:`panogrf_tpu.renderer.renderer.NeuralRayGenRenderer`.
+
+    Parameter surface (reference): image_encoder ResUNetLight [1,2,6]
+    inplanes 16 (``renderer.py:106``); init_net res_net/depth_conv/out_conv
+    (``init_net.py:539-574``); vis_encoder out_conv (``vis_encoder.py:17``);
+    dist decoders (``dist_decoder.py:53-108``); agg nets incl. ray attention
+    (``ibrnet.py:239-373``).  The ``sph_fitter.regs`` buffer (constant
+    regularizer weights, ``sph_solver.py:5-12``) and the frozen
+    ``init_net.depth_net.*`` sub-checkpoint are NOT part of the flax tree:
+    the depth stack runs outside the renderer (see init_net docstring) —
+    extract it with :func:`extract_renderer_depth_net` and convert with
+    :func:`convert_mvs` / :func:`convert_unifuse`.
+
+    :return: {"params": ...} for the gen renderer.
+    """
+    sd = strip_module_prefix(torch_sd)
+    params: dict = {
+        "image_encoder": convert_resunet_light(sd, "image_encoder",
+                                               layers=(1, 2, 6)),
+        "init_net": {
+            "res_net": convert_resunet_light(sd, "init_net.res_net",
+                                             layers=(2, 3, 6)),
+            "depth_conv": _conv_res_conv(sd, "init_net.depth_conv", 1),
+            "out_conv": _conv_res_conv(sd, "init_net.out_conv", 1),
+        },
+        # vis_encoder params live inline in its scope (no _ConvResConv)
+        "vis_encoder": _conv_res_conv(sd, "vis_encoder.out_conv", 2),
+        "dist_decoder": convert_dist_decoder(sd, "dist_decoder"),
+        "agg_net": convert_agg_net(sd, "agg_net"),
+    }
+    if "fine_dist_decoder.mean_decoder.0.weight" in sd:
+        params["fine_dist_decoder"] = convert_dist_decoder(
+            sd, "fine_dist_decoder")
+        params["fine_agg_net"] = convert_agg_net(sd, "fine_agg_net")
+    return {"params": params}
+
+
+def extract_renderer_depth_net(torch_sd: Dict[str, Array]) -> Dict[str, Array]:
+    """Pull the frozen MVS/mono sub-checkpoint (``init_net.depth_net.*``)
+    out of a renderer checkpoint (feed to :func:`convert_mvs`, or — for
+    ``wo_stereo`` checkpoints — :func:`convert_unifuse`)."""
+    sd = strip_module_prefix(torch_sd)
+    return {k[len("init_net.depth_net."):]: v for k, v in sd.items()
+            if k.startswith("init_net.depth_net.")}
+
+
+def extract_ray_feats(torch_sd: Dict[str, Array]) -> list:
+    """Pull per-view trainable ``ray_feats.{i}`` out of a ft-renderer
+    checkpoint (torch (1, dim, fh, fw), reference ``render.py:345-348``) as
+    channel-last (fh, fw, dim) arrays in view order."""
+    sd = strip_module_prefix(torch_sd)
+    n = 0
+    while f"ray_feats.{n}" in sd:
+        n += 1
+    return [np.transpose(sd[f"ray_feats.{i}"][0], (1, 2, 0))
+            for i in range(n)]
+
+
 def verify_tree_shapes(converted: dict, reference_tree: dict,
                        path: str = "") -> list:
     """Compare converted arrays against an initialized flax tree.

@@ -201,3 +201,165 @@ def test_convert_mvs_shapes_and_forward():
 
     dnet = tc.extract_dnet(sd)
     assert "equi_encoder.conv1.weight" in dnet
+
+
+# ---------------------------------------------------------------------------
+# renderer checkpoint
+# ---------------------------------------------------------------------------
+
+def _fake_renderer_resunet_sd(rng, prefix, layers, inplanes):
+    """Renderer-style ResUNetLight keys (instance norm, wrap padding —
+    reference ``network/ops.py:235-455`` with use_wrap_padding=True)."""
+    sd = {}
+
+    def conv(k, o, i, s=3, bias=False):
+        sd[f"{k}.weight"] = rng.normal(size=(o, i, s, s)).astype(np.float32)
+        if bias:
+            sd[f"{k}.bias"] = np.zeros(o, np.float32)
+
+    def inorm(k, c):
+        sd[f"{k}.weight"] = np.ones(c, np.float32)
+        sd[f"{k}.bias"] = np.zeros(c, np.float32)
+
+    conv(f"{prefix}.conv1.1", inplanes, 3, 7)
+    inorm(f"{prefix}.bn1", inplanes)
+    inc = inplanes
+    for li, (nblocks, planes) in enumerate(zip(layers, [32, 64, 128]),
+                                           start=1):
+        for bi in range(nblocks):
+            t = f"{prefix}.layer{li}.{bi}"
+            cin = inc if bi == 0 else planes
+            conv(f"{t}.conv1.1", planes, cin)
+            inorm(f"{t}.bn1", planes)
+            conv(f"{t}.conv2.1", planes, planes)
+            inorm(f"{t}.bn2", planes)
+            if bi == 0:  # stride-2 first block always has downsample
+                conv(f"{t}.downsample.0", planes, cin, 1)
+                inorm(f"{t}.downsample.1", planes)
+        inc = planes
+
+    def upconv_conv(base, o, i):
+        conv(f"{base}.conv.1", o, i, 3, bias=True)
+        inorm(f"{base}.bn", o)
+
+    upconv_conv(f"{prefix}.upconv3.conv", 64, 128)
+    upconv_conv(f"{prefix}.iconv3", 64, 128)
+    upconv_conv(f"{prefix}.upconv2.conv", 32, 64)
+    upconv_conv(f"{prefix}.iconv2", 32, 64)
+    conv(f"{prefix}.out_conv", 32, 32, 1, bias=True)
+    return sd
+
+
+def _fake_conv_res_conv_sd(rng, prefix, cin, c, num_res=1):
+    """Sequential(conv3x3, ResidualBlock x num_res, conv1x1) keys
+    (reference ``init_net.py:539-574``, wrap padding)."""
+    sd = {}
+
+    def conv(k, o, i, s=3):
+        sd[f"{k}.weight"] = rng.normal(size=(o, i, s, s)).astype(np.float32)
+
+    def inorm(k, ch):
+        sd[f"{k}.weight"] = np.ones(ch, np.float32)
+        sd[f"{k}.bias"] = np.zeros(ch, np.float32)
+
+    conv(f"{prefix}.0.1", c, cin)
+    for r in range(num_res):
+        t = f"{prefix}.{1 + r}"
+        inorm(f"{t}.conv.0", c)
+        conv(f"{t}.conv.3", c, c)
+        inorm(f"{t}.conv.4", c)
+        conv(f"{t}.conv.7", c, c)
+    conv(f"{prefix}.{1 + num_res}", c, c, 1)
+    return sd
+
+
+def _fake_linears(rng, prefix, dims, idxs):
+    sd = {}
+    for idx, (i, o) in zip(idxs, dims):
+        sd[f"{prefix}.{idx}.weight"] = rng.normal(size=(o, i)).astype(
+            np.float32) * 0.05
+        sd[f"{prefix}.{idx}.bias"] = np.zeros(o, np.float32)
+    return sd
+
+
+def _fake_dist_decoder_sd(rng, prefix):
+    sd = {}
+    for head, out in [("mean_decoder", 2), ("var_decoder", 2),
+                      ("aw_decoder", 1)]:
+        sd.update(_fake_linears(rng, f"{prefix}.{head}",
+                                [(32, 32), (32, 32), (32, out)], [0, 2, 4]))
+    return sd
+
+
+def _fake_agg_net_sd(rng, prefix):
+    sd = {}
+    sd.update(_fake_linears(rng, f"{prefix}.prob_embed",
+                            [(34, 32), (32, 32)], [0, 2]))
+    a = f"{prefix}.agg_impl"
+    seqs = {
+        "ray_dir_fc": [(4, 16), (16, 35)],
+        "base_fc": [(207, 64), (64, 32)],
+        "vis_fc": [(32, 32), (32, 33)],
+        "vis_fc2": [(32, 32), (32, 1)],
+        "geometry_fc": [(65, 64), (64, 16)],
+        "neuray_fc": [(32, 8), (8, 1)],
+        "out_geometry_fc": [(16, 16), (16, 1)],
+        "rgb_fc": [(37, 16), (16, 8), (8, 1)],
+    }
+    for name, dims in seqs.items():
+        sd.update(_fake_linears(rng, f"{a}.{name}", dims,
+                                [0, 2, 4][:len(dims)]))
+    for lin in ["w_qs", "w_ks", "w_vs", "fc"]:
+        sd[f"{a}.ray_attention.{lin}.weight"] = rng.normal(
+            size=(16, 16)).astype(np.float32) * 0.1
+    sd[f"{a}.ray_attention.layer_norm.weight"] = np.ones(16, np.float32)
+    sd[f"{a}.ray_attention.layer_norm.bias"] = np.zeros(16, np.float32)
+    return sd
+
+
+def _fake_renderer_sd(rng):
+    """Full NeuralRayGenRenderer network_state_dict with reference keys."""
+    sd = {}
+    sd.update(_fake_renderer_resunet_sd(rng, "image_encoder", (1, 2, 6), 16))
+    sd.update(_fake_renderer_resunet_sd(rng, "init_net.res_net",
+                                        (2, 3, 6), 32))
+    sd.update(_fake_conv_res_conv_sd(rng, "init_net.depth_conv", 1, 32, 1))
+    sd.update(_fake_conv_res_conv_sd(rng, "init_net.out_conv", 64, 32, 1))
+    sd.update(_fake_conv_res_conv_sd(rng, "vis_encoder.out_conv", 64, 32, 2))
+    for dd in ["dist_decoder", "fine_dist_decoder"]:
+        sd.update(_fake_dist_decoder_sd(rng, dd))
+    for agg in ["agg_net", "fine_agg_net"]:
+        sd.update(_fake_agg_net_sd(rng, agg))
+    # buffers / frozen depth net (not part of the flax tree)
+    sd["sph_fitter.regs"] = np.zeros(16, np.float32)
+    sd["init_net.depth_net.unet.equi_encoder.conv1.weight"] = np.zeros(
+        (64, 3, 7, 7), np.float32)
+    return sd
+
+
+def test_convert_renderer_shapes_and_forward():
+    import __graft_entry__ as ge
+    rng = np.random.default_rng(3)
+    sd = _fake_renderer_sd(rng)
+    converted = tc.convert_renderer(sd)
+
+    model = ge._build()
+    data = ge._tiny_data(32, 64, 16, 32, rn=8)
+    init_vars = jax.jit(model.init)(jax.random.PRNGKey(0), data)
+    problems = tc.verify_tree_shapes(converted["params"],
+                                     init_vars["params"])
+    assert not problems, problems[:20]
+
+    out = jax.jit(model.apply)(jax.tree.map(jnp.asarray, converted), data)
+    assert np.isfinite(np.asarray(out["pixel_colors_nr_fine"])).all()
+
+    dnet = tc.extract_renderer_depth_net(sd)
+    assert "unet.equi_encoder.conv1.weight" in dnet
+
+
+def test_extract_ray_feats():
+    sd = {"ray_feats.0": np.zeros((1, 32, 64, 128), np.float32),
+          "ray_feats.1": np.ones((1, 32, 64, 128), np.float32)}
+    feats = tc.extract_ray_feats(sd)
+    assert len(feats) == 2 and feats[0].shape == (64, 128, 32)
+    assert feats[1][0, 0, 0] == 1.0
