@@ -116,20 +116,34 @@ class Trainer:
         self._ckpt_dir = Path(cfg.save_dir) / cfg.name
 
     # -- checkpointing (orbax) -------------------------------------------
+    # Full training state is saved — params, opt_state, step AND the best
+    # validation metric — matching the reference's resumable ``model.pth``
+    # = {step, best_para, network_state_dict, optimizer_state_dict}
+    # (reference ``train/trainer.py:438-459``).  Restoring continues the lr
+    # schedule mid-decay because optax schedules read ``opt_state``'s count.
+
+    def _ckpt_tree(self):
+        return {"state": self.state,
+                "best_metric": jnp.asarray(self.best_metric, jnp.float32)}
 
     def save(self, tag: str = "latest"):
         import orbax.checkpoint as ocp
         path = (self._ckpt_dir / tag).absolute()
         ckptr = ocp.StandardCheckpointer()
-        ckptr.save(path, self.state.params, force=True)
+        ckptr.save(path, self._ckpt_tree(), force=True)
         ckptr.wait_until_finished()
 
     def restore(self, tag: str = "latest"):
         import orbax.checkpoint as ocp
         path = (self._ckpt_dir / tag).absolute()
         ckptr = ocp.StandardCheckpointer()
-        params = ckptr.restore(path, self.state.params)
-        self.state = self.state.replace(params=params)
+        try:
+            restored = ckptr.restore(path, self._ckpt_tree())
+            self.state = restored["state"]
+            self.best_metric = float(restored["best_metric"])
+        except Exception:  # round-1 params-only checkpoints
+            params = ckptr.restore(path, self.state.params)
+            self.state = self.state.replace(params=params)
 
     # -- loop --------------------------------------------------------------
 

@@ -34,6 +34,53 @@ def test_trainer_save_restore(tmp_path):
     assert not np.allclose(restored["w"], np.asarray(params["w"]))
 
 
+def test_trainer_resume_continues_step_optstate_and_lr(tmp_path):
+    """Kill/resume parity (reference ``train/trainer.py:438-459``): step,
+    optimizer state and best metric survive, so the lr schedule continues
+    mid-decay instead of restarting at step 0."""
+    import optax
+    from panogrf_tpu.train.trainer import Trainer, TrainerConfig
+
+    params = {"w": jnp.ones((4, 4), jnp.float32)}
+
+    def apply_fn(p, batch, rng):
+        out = batch["x"] @ p["w"]
+        return {"pixel_colors_nr": out[None],
+                "pixel_colors_gt": jnp.zeros_like(out)[None],
+                "ray_mask": jnp.ones((1, out.shape[0]), bool)}
+
+    cfg = TrainerConfig(name="rs", save_dir=str(tmp_path), losses=("render",),
+                        lr_cfg={"lr_init": 1e-3, "decay_step": 4,
+                                "decay_rate": 0.5},
+                        total_step=6, log_interval=1,
+                        val_interval=10**9, save_interval=10**9)
+    batch = {"x": jnp.ones((5, 4))}
+
+    # uninterrupted 6-step run
+    tr_full = Trainer(apply_fn, params, cfg)
+    tr_full.fit([batch] * 6)
+
+    # killed after 3 steps, resumed for 3 more
+    tr = Trainer(apply_fn, params, cfg)
+    tr.fit([batch] * 3)
+    tr.best_metric = 12.5
+    tr.save("latest")
+    tr2 = Trainer(apply_fn, params, cfg)
+    tr2.restore("latest")
+    assert int(tr2.state.step) == 3
+    assert tr2.best_metric == 12.5
+    # optimizer state (adam moments + schedule count) restored exactly
+    for a, b in zip(jax.tree.leaves(tr.state.opt_state),
+                    jax.tree.leaves(tr2.state.opt_state)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+    tr2.fit([batch] * 3)
+
+    assert int(tr2.state.step) == 6
+    np.testing.assert_allclose(
+        np.asarray(tr2.state.params["w"]),
+        np.asarray(tr_full.state.params["w"]), rtol=1e-5)
+
+
 def test_depth_trainer_rolling_checkpoints(tmp_path):
     from panogrf_tpu.train.depth_trainer import (DepthTrainer,
                                                  DepthTrainConfig)
