@@ -1,5 +1,12 @@
-"""Honest per-op timing on the tunnel TPU (chained iters + scalar fetch)."""
+"""Honest per-op timing on the tunnel TPU (chained iters + scalar fetch).
 
+Breaks the per-chunk render pass into stages with realistic shapes
+(point-major layout, matching ``renderer.render_by_depth``) and times each
+via a data-dependent chain so the tunnel's no-op ``block_until_ready``
+cannot lie.  Run with ``--chunk N`` to match a bench chunk size.
+"""
+
+import argparse
 import json
 import sys
 import time
@@ -17,7 +24,8 @@ def timeit_chain(make_step, init, iters=8):
     """Time f applied iters times sequentially (data-dependent chain)."""
     step = jax.jit(make_step)
     out = step(init)
-    s = jax.jit(lambda o: sum(jnp.sum(x) for x in jax.tree.leaves(o)))
+    s = jax.jit(lambda o: sum(jnp.sum(x.astype(jnp.float32))
+                              for x in jax.tree.leaves(o)))
     _ = float(s(out))  # warm
     t0 = time.perf_counter()
     o = init
@@ -33,74 +41,88 @@ def timeit_chain(make_step, init, iters=8):
 
 
 def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--chunk", type=int, default=2048)
+    ap.add_argument("--dtype", default="bfloat16")
+    args = ap.parse_args()
+
     from panogrf_tpu.core.sphere import M3D
-    from panogrf_tpu.ops.resample import interpolate_feats
+    from panogrf_tpu.ops.resample import (interpolate_feats,
+                                          interpolate_feats_pointmajor)
     from panogrf_tpu.renderer import render_ops as ro
-    from panogrf_tpu.renderer.dist_decoder import MixtureLogisticsDistDecoder
+    from panogrf_tpu.renderer.dist_decoder import (
+        MixtureLogisticsDistDecoder, compute_prob)
 
     H, W = 512, 1024
-    rfn, rn, dn = 2, 8192, 64
+    rfn, rn, dn = 2, args.chunk, 64
     N = rn * dn
+    dt = jnp.dtype(args.dtype)
     rng = np.random.default_rng(0)
-    res = {}
+    res = {"chunk": rn, "dtype": args.dtype}
 
-    # --- gathers ---------------------------------------------------------
-    imgs = jnp.asarray(rng.uniform(size=(rfn, H, W, 3)), jnp.float32)
-    img_feats = jnp.asarray(rng.uniform(size=(rfn, 128, 256, 32)),
-                            jnp.float32)
-    ray_feats = jnp.asarray(rng.uniform(size=(rfn, 64, 128, 32)),
-                            jnp.float32)
+    # --- gathers (point-major, like project_points_dict) -------------------
+    imgs = jnp.asarray(rng.uniform(size=(rfn, H, W, 3)), dt)
+    merged = jnp.asarray(rng.uniform(size=(rfn, 128, 256, 64)), dt)
     pts0 = jnp.asarray(rng.uniform(0, 500, size=(rfn, N, 2)), jnp.float32)
 
     def g_imgs(pts):
-        v = interpolate_feats(imgs, pts, H, W)
-        return (pts + v[..., :2] * 1e-6) % 512
+        v = interpolate_feats_pointmajor(imgs, pts, H, W)
+        return (pts + v[..., :2].astype(jnp.float32).swapaxes(0, 1)
+                * 1e-6) % 512
 
-    def g_if(pts):
-        v = interpolate_feats(img_feats, pts, H, W)
-        return (pts + v[..., :2] * 1e-6) % 512
-
-    def g_rf(pts):
-        v = interpolate_feats(ray_feats, pts, H, W)
-        return (pts + v[..., :2] * 1e-6) % 512
+    def g_merged(pts):
+        v = interpolate_feats_pointmajor(merged, pts, H, W)
+        return (pts + v[..., :2].astype(jnp.float32).swapaxes(0, 1)
+                * 1e-6) % 512
 
     res["gather_imgs_512x1024x3_ms"] = timeit_chain(g_imgs, pts0)
-    res["gather_imgfeats_128x256x32_ms"] = timeit_chain(g_if, pts0)
-    res["gather_rayfeats_64x128x32_ms"] = timeit_chain(g_rf, pts0)
+    res["gather_merged_128x256x64_ms"] = timeit_chain(g_merged, pts0)
 
-    # --- dist decoder ------------------------------------------------------
+    # --- dist decoder (point-major (1, rn, dn, rfn, 32)) -------------------
     dec = MixtureLogisticsDistDecoder()
-    feats0 = jnp.asarray(rng.normal(size=(rfn, 1, rn, dn, 32)) * 0.3,
-                         jnp.float32)
+    feats0 = jnp.asarray(rng.normal(size=(1, rn, dn, rfn, 32)) * 0.3, dt)
     dvars = dec.init(jax.random.PRNGKey(0), feats0)
 
     def g_dec(feats):
         mean, var, vis, aw = dec.apply(dvars, feats)
         upd = (mean.sum(-1, keepdims=True) + var.sum(-1, keepdims=True)
                + aw)
-        return feats + 1e-6 * upd
+        return feats + (1e-6 * upd).astype(feats.dtype)
 
     res["dist_decoder_ms"] = timeit_chain(g_dec, feats0)
 
-    # --- agg net -----------------------------------------------------------
+    # --- compute_prob -------------------------------------------------------
+    near0 = jnp.asarray(rng.uniform(0, 1, size=(1, rn, dn, rfn)), jnp.float32)
+    mean0 = jnp.asarray(rng.uniform(0, 1, size=(1, rn, dn, rfn, 2)),
+                        jnp.float32)
+
+    def g_prob(near):
+        alpha, vis, hit = compute_prob(near, near + 0.01, mean0,
+                                       mean0 + 0.5, None, mean0[..., :1],
+                                       False)
+        return near + 1e-6 * hit
+
+    res["compute_prob_ms"] = timeit_chain(g_prob, near0)
+
+    # --- agg net (point-major) ----------------------------------------------
     from panogrf_tpu.renderer.agg_net import DefaultAggregationNet
     agg = DefaultAggregationNet(n_samples=dn)
     prj = {
         "ray_feats": feats0,
         "rgb": feats0[..., :3],
         "img_feats": feats0,
-        "dir": feats0[..., :3],
+        "dir": feats0[..., :3].astype(jnp.float32),
         "hit_prob": feats0[..., :1],
         "vis": feats0[..., :1],
         "alpha": feats0[..., :1],
     }
-    que_dir = jnp.ones((1, rn, dn, 3))
+    que_dir = jnp.ones((1, rn, dn, 3), dt)
     avars = agg.init(jax.random.PRNGKey(0), prj, que_dir)
 
     def g_agg(prj):
         density, colors = agg.apply(avars, prj, que_dir)
-        upd = 1e-6 * density[None, ..., None]
-        return {k: v + upd if v.shape[-1] == 1 else v
+        upd = (1e-6 * density[..., None]).astype(dt)
+        return {k: v + upd.astype(v.dtype) if v.shape[-1] == 1 else v
                 for k, v in prj.items()}
 
     res["agg_net_ms"] = timeit_chain(g_agg, prj, iters=4)
@@ -111,10 +133,10 @@ def main():
     pts3 = jnp.asarray(rng.normal(size=(N, 3)) * 3, jnp.float32)
 
     def g_proj(pts3):
-        cam = jnp.einsum("vij,pj->vpi", w2c[:, :, :3], pts3) \
-            + w2c[:, None, :, 3]
+        cam = jnp.einsum("vij,pj->pvi", w2c[:, :, :3], pts3) \
+            + w2c[None, :, :, 3]
         xy, d = M3D.project_to_pixels(cam, H, W)
-        return pts3 + 1e-6 * jnp.mean(xy, 0)[..., :2].sum(-1, keepdims=True)
+        return pts3 + 1e-6 * jnp.mean(xy, 1)[..., :2].sum(-1, keepdims=True)
 
     res["projection_math_ms"] = timeit_chain(g_proj, pts3)
 
@@ -129,7 +151,50 @@ def main():
 
     res["sample_fine_depth_ms"] = timeit_chain(g_fine, depth0)
 
-    res = {k: round(v, 2) for k, v in res.items()}
+    # --- one full coarse render_by_depth pass -------------------------------
+    from panogrf_tpu.renderer.renderer import NeuralRayGenRenderer
+    model = NeuralRayGenRenderer(height=H, width=W,
+                                 compute_dtype=args.dtype,
+                                 use_hierarchical_sampling=False)
+    ref_info = {
+        "imgs": jnp.asarray(rng.uniform(size=(rfn, H, W, 3)), jnp.float32),
+        "mvs_depth": jnp.asarray(
+            rng.uniform(1.0, 6.0, size=(rfn, 256, 512, 1)), jnp.float32),
+        "depth_range": jnp.asarray([[0.5, 15.0]] * rfn),
+        "w2c": w2c,
+    }
+    coords0 = jnp.stack(
+        [jnp.asarray(rng.integers(0, W, (1, rn)), jnp.float32),
+         jnp.asarray(rng.integers(0, H, (1, rn)), jnp.float32)], -1)
+    data = {"ref_imgs_info": ref_info,
+            "que_imgs_info": {
+                "coords": coords0,
+                "c2w": jnp.concatenate(
+                    [jnp.eye(3), jnp.asarray([[0.], [0.], [0.5]])], 1),
+                "depth_range": jnp.asarray([[0.5, 15.0]]),
+            }}
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), data)
+
+    from panogrf_tpu.renderer import full_render
+    ref_data = full_render.prepare_ref_data(model, params, ref_info)
+    qdr = data["que_imgs_info"]["depth_range"]
+    c2w = data["que_imgs_info"]["c2w"]
+
+    def g_pass(coords):
+        out = model.apply(params, ref_data, coords, c2w, qdr,
+                          ref_info["depth_range"],
+                          method=NeuralRayGenRenderer.render_rays)
+        key = ("pixel_colors_nr_fine" if "pixel_colors_nr_fine" in out
+               else "pixel_colors_nr")
+        return (coords + 1e-6 * out[key][..., :2]) % 128
+
+    res["coarse_pass_ms"] = timeit_chain(g_pass, coords0, iters=4)
+    n_chunks = H * W // rn
+    res["coarse_pass_frame_equiv_s"] = round(
+        res["coarse_pass_ms"] * n_chunks / 1000.0, 2)
+
+    res = {k: (round(v, 2) if isinstance(v, float) else v)
+           for k, v in res.items()}
     res["device"] = str(jax.devices()[0])
     print(json.dumps(res, indent=1))
 
