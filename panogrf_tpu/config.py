@@ -26,6 +26,9 @@ class DataConfig:
     m3d_dist: float = 0.5
     seq_len: int = 3
     reference_idx: int = 1
+    # MV protocol (reference run_training_mv.py / get_database_split_mv):
+    # refs = range(reference_idx), queries = test_views.
+    test_views: Tuple[int, ...] = ()
     min_depth: float = 0.5
     max_depth: float = 15.0
     use_lmdb: bool = False
@@ -69,6 +72,7 @@ class MVSConfig:
     with_sin: bool = False
     wo_mono_feat: bool = False
     use_wrap_padding: bool = True
+    use_new_reg3dnet: bool = False        # MVSNet CostRegNet regularizer
     mvsnet_ckpt: Optional[str] = None     # mvsnet_pretrained_path
 
 

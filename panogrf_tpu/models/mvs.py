@@ -109,6 +109,7 @@ class MVSDepthModel(nn.Module):
     with_sin: bool = False
     wo_mono_feat: bool = False
     cnn3d_base: int = 32
+    use_new_reg3dnet: bool = False    # MVSNet CostRegNet instead of UNet3D
 
     @property
     def convention(self) -> SphereConvention:
@@ -182,8 +183,14 @@ class MVSDepthModel(nn.Module):
             cost = cost.reshape(b, d, h4, w4, g, cdim // g).mean(axis=-1)
 
         # --- 3D regularization ---------------------------------------------
-        reg = UNet3D(base_features=self.cnn3d_base, num_layers=3,
-                     out_features=1, wrap=self.wrap, name="unet3d")(cost)
+        if self.use_new_reg3dnet:
+            # MVSNet-style CostRegNet (reference ``use_new_reg3dnet``,
+            # models/cost_reg.py:99-174)
+            from panogrf_tpu.nn.blocks import CostRegNet
+            reg = CostRegNet(wrap=self.wrap, name="reg3dnet")(cost, train)
+        else:
+            reg = UNet3D(base_features=self.cnn3d_base, num_layers=3,
+                         out_features=1, wrap=self.wrap, name="unet3d")(cost)
         cost_reg = reg[..., 0]                   # (B, D, H4, W4)
 
         # --- aux 1/4-res depth head (decoders1) ----------------------------

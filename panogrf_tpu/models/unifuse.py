@@ -200,3 +200,100 @@ class Equi(nn.Module):
         x = jnp.concatenate([x, feats[1]], axis=-1)
         x = ConvELU(NUM_CH_DEC[2], self.wrap)(x)
         return ConvELU(NUM_CH_DEC[1], self.wrap)(x)   # (B, H/4, W/4, 32)
+
+
+class EquiDepth(nn.Module):
+    """ERP-only mono-depth network (full decoder to sigmoid depth).
+
+    Reference ``UniFuse…/networks/equi.py:14-115`` — the ``Equi`` choice of
+    the ``select_mono`` factory (``select_mononet.py:13``), i.e. UniFuse
+    without the cubemap branch.  Same decoder ladder, depth head
+    ``max_depth * sigmoid`` and optional (mu, sigma) uncertainty head as
+    :class:`UniFuse`.
+    """
+    max_depth: float = 10.0
+    wrap: bool = True
+    uncertainty: bool = False
+
+    @nn.compact
+    def __call__(self, equi: Array, train: bool = False) -> dict:
+        feats = ResNetEncoder(wrap=self.wrap,
+                              name="equi_encoder")(equi, train)
+        outputs = {}
+        x = upsample2x_nearest(ConvELU(NUM_CH_DEC[4], self.wrap)(feats[4]))
+        x = jnp.concatenate([x, feats[3]], axis=-1)
+        x = ConvELU(NUM_CH_DEC[4], self.wrap)(x)
+        x = upsample2x_nearest(ConvELU(NUM_CH_DEC[3], self.wrap)(x))  # 1/8
+        x = jnp.concatenate([x, feats[2]], axis=-1)
+        x = ConvELU(NUM_CH_DEC[3], self.wrap)(x)
+        x = upsample2x_nearest(ConvELU(NUM_CH_DEC[2], self.wrap)(x))  # 1/4
+        x = jnp.concatenate([x, feats[1]], axis=-1)
+        x = ConvELU(NUM_CH_DEC[2], self.wrap)(x)
+        x = upsample2x_nearest(ConvELU(NUM_CH_DEC[1], self.wrap)(x))  # 1/2
+        x = jnp.concatenate([x, feats[0]], axis=-1)
+        x = ConvELU(NUM_CH_DEC[1], self.wrap)(x)
+        outputs["mono_feat"] = x          # deconv_1 tap, like UniFuse
+        x = upsample2x_nearest(ConvELU(NUM_CH_DEC[0], self.wrap)(x))  # 1/1
+        x = ConvELU(NUM_CH_DEC[0], self.wrap)(x)
+        equi_out = Conv3x3Head(1, self.wrap)(x)
+        outputs["pred_depth"] = self.max_depth * nn.sigmoid(equi_out)
+        if self.uncertainty:
+            pred = Conv3x3Head(2, self.wrap, name="uncert_head")(x)
+            mu = self.max_depth * nn.sigmoid(pred[..., :1])
+            sigma = nn.softplus(pred[..., 1:]) + 1e-3
+            outputs["pred"] = jnp.concatenate([mu, sigma], axis=-1)
+        return outputs
+
+
+# ---------------------------------------------------------------------------
+# mono-net factory (reference select_mononet.py:4-138)
+# ---------------------------------------------------------------------------
+
+MONO_NETS = ("UniFuse", "Equi")
+
+
+def select_mono(cfg, mvsnet: bool = False):
+    """Config-driven mono-depth network factory.
+
+    Reference ``select_mononet.py:4-138``: picks the net by ``mono_net``
+    (only UniFuse/Equi exist in-tree; the PanoFormer/FreDSNet/ACDNet
+    branches import external repos and are not part of the reference
+    checkout), applies the uncertainty head knob, and — via
+    :func:`load_mono_params` — the pretrained checkpoint.
+
+    :param cfg: object or mapping with mono_net / max_depth /
+        mono_uncertainty (+ mono_fusion, se_in_fusion for UniFuse).
+    :param mvsnet: True when building the frozen D-Net inside the MVS
+        pipeline (reference picks the ``mono_*`` knob family then).
+    :return: an uninitialized Flax module.
+    """
+    get = (cfg.get if hasattr(cfg, "get")
+           else lambda k, d=None: getattr(cfg, k, d))
+    name = get("mono_net", "UniFuse")
+    uncert = bool(get("mono_uncertainty", False))
+    max_depth = float(get("max_depth", 10.0))
+    wrap = bool(get("use_wrap_padding", True))
+    if name == "UniFuse":
+        return UniFuse(max_depth=max_depth, uncertainty=uncert, wrap=wrap,
+                       fusion_type=str(get("mono_fusion",
+                                           get("fusion", "cee"))),
+                       se_in_fusion=bool(get("se_in_fusion", True)))
+    if name == "Equi":
+        return EquiDepth(max_depth=max_depth, uncertainty=uncert, wrap=wrap)
+    raise ValueError(
+        f"unknown mono_net {name!r}; available: {MONO_NETS} "
+        "(PanoFormer/FreDSNet/ACDNet require external repos even in the "
+        "reference)")
+
+
+def load_mono_params(cfg, torch_state_dict):
+    """Convert a pretrained torch checkpoint for the selected mono net."""
+    from panogrf_tpu.utils import torch_convert as tc
+    get = (cfg.get if hasattr(cfg, "get")
+           else lambda k, d=None: getattr(cfg, k, d))
+    name = get("mono_net", "UniFuse")
+    if name == "UniFuse":
+        return tc.convert_unifuse(torch_state_dict)
+    if name == "Equi":
+        return tc.convert_equi_depth(torch_state_dict)
+    raise ValueError(name)

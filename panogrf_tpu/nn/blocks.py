@@ -324,6 +324,63 @@ class ConvBlock2(nn.Module):
         return pooled, h
 
 
+class ConvBnLReLU3D(nn.Module):
+    """Wrap-padded conv3d + BatchNorm + LeakyReLU (reference
+    ``models/cost_reg.py:15-40`` ConvBnReLU3DWrap, inplace_abn off)."""
+    features: int
+    stride: int = 1
+    wrap: bool = True
+
+    @nn.compact
+    def __call__(self, x: Array, train: bool = False) -> Array:
+        x = WrapConv3D(self.features, 3, stride=self.stride,
+                       use_bias=False, wrap=self.wrap)(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9)(x)
+        return nn.leaky_relu(x, 0.01)
+
+
+class UpConvBn3D(nn.Module):
+    """Trilinear 2x upsample + wrap-padded conv3d + BN + LeakyReLU
+    (reference ``cost_reg.py:59-98`` UpConv3DWrap)."""
+    features: int
+    wrap: bool = True
+
+    @nn.compact
+    def __call__(self, x: Array, target_shape, train: bool = False) -> Array:
+        x = resize_linear(x, tuple(target_shape), axes=(1, 2, 3),
+                          align_corners=False)
+        x = WrapConv3D(self.features, 3, use_bias=False, wrap=self.wrap)(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9)(x)
+        return nn.leaky_relu(x, 0.01)
+
+
+class CostRegNet(nn.Module):
+    """MVSNet-style 3D UNet cost regularizer — the ``use_new_reg3dnet``
+    alternative to :class:`UNet3D` (reference ``models/cost_reg.py:99-174``):
+    8->16->32->64 strided encoder, trilinear-upsampling decoder with
+    additive skips, 1-channel prob head.  NDHWC; input (B, D, H, W, C).
+    """
+    wrap: bool = True
+
+    @nn.compact
+    def __call__(self, x: Array, train: bool = False) -> Array:
+        conv0 = ConvBnLReLU3D(8, wrap=self.wrap, name="conv0")(x, train)
+        h = ConvBnLReLU3D(16, 2, wrap=self.wrap, name="conv1")(conv0, train)
+        conv2 = ConvBnLReLU3D(16, wrap=self.wrap, name="conv2")(h, train)
+        h = ConvBnLReLU3D(32, 2, wrap=self.wrap, name="conv3")(conv2, train)
+        conv4 = ConvBnLReLU3D(32, wrap=self.wrap, name="conv4")(h, train)
+        h = ConvBnLReLU3D(64, 2, wrap=self.wrap, name="conv5")(conv4, train)
+        h = ConvBnLReLU3D(64, wrap=self.wrap, name="conv6")(h, train)
+        h = conv4 + UpConvBn3D(32, wrap=self.wrap, name="conv7")(
+            h, conv4.shape[1:4], train)
+        h = conv2 + UpConvBn3D(16, wrap=self.wrap, name="conv9")(
+            h, conv2.shape[1:4], train)
+        h = conv0 + UpConvBn3D(8, wrap=self.wrap, name="conv11")(
+            h, conv0.shape[1:4], train)
+        return WrapConv3D(1, 3, use_bias=False, wrap=self.wrap,
+                          name="prob")(h)
+
+
 class Conv3DBlock(nn.Module):
     """conv3d-lrelu-conv3d-lrelu(-pool) over NDHWC.
 

@@ -261,8 +261,13 @@ def ibr_pool(rgb_feat: Array, neuray_feat: Array, ray_diff: Array,
     n_p = (n + block_rows - 1) // block_rows * block_rows
 
     def prep(x):
+        # Pre-pad BOTH rows and lanes here: in-kernel lane extension
+        # (concat to 128) lowered badly in Mosaic; zero-padding in the
+        # wrapper makes the kernel's ext() a no-op that XLA folds into the
+        # HBM->VMEM pipeline copy.
         x = jnp.swapaxes(x, 0, 1)                   # (v, N, F)
-        return jnp.pad(x, ((0, 0), (0, n_p - n), (0, 0)))
+        return jnp.pad(x, ((0, 0), (0, n_p - n),
+                           (0, LANES - x.shape[-1])))
 
     rgbf = prep(rgb_feat)
     nray = prep(neuray_feat)

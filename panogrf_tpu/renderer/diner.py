@@ -28,9 +28,12 @@ def project_depth_info(ref_data: dict, que_pts: Array,
     """Gather per-candidate MVS depth stats from every reference view.
 
     ref_data needs: mvs_depth (rfn, dh, dw, 1), mvs_uncert (rfn, dh, dw, 1),
-    w2c (rfn, 3, 4), imgs (rfn, H, W, 3) for the pixel frame.
+    w2c (rfn, 3, 4), imgs (rfn, H, W, 3) for the pixel frame; optionally
+    mvs_normal (rfn, dh, dw, 3) for backface culling (reference
+    ``render_ops.py:260-290`` with ``include_norm``).
     :param que_pts: (qn, rn, cn, 3) world candidate points.
-    :return: dict of (rfn, qn, rn, cn) arrays mu/uncert/depth.
+    :return: dict of (rfn, qn, rn, cn) arrays mu/uncert/depth
+        (+ normal (rfn, qn, rn, cn, 3)).
     """
     qn, rn, cn, _ = que_pts.shape
     rfn, h, w, _ = ref_data["imgs"].shape
@@ -44,7 +47,11 @@ def project_depth_info(ref_data: dict, que_pts: Array,
     def rs(t):
         return t.reshape(rfn, qn, rn, cn)
 
-    return {"mu": rs(mu), "uncert": rs(uncert), "depth": rs(depth)}
+    out = {"mu": rs(mu), "uncert": rs(uncert), "depth": rs(depth)}
+    if "mvs_normal" in ref_data:
+        nrm = interpolate_feats(ref_data["mvs_normal"], xy, h, w)
+        out["normal"] = nrm.reshape(rfn, qn, rn, cn, 3)
+    return out
 
 
 def fill_uniform(z: Array, near: float, far: float,
@@ -69,11 +76,21 @@ def sample_depthguided(que_depth: Array, prj: dict, n_samples: int,
                        n_gaussian: int, near: float, far: float,
                        depth_diff_max: float = 0.05,
                        fixed_sigma: float = 0.0,
-                       rng: jax.Array | None = None) -> Array:
+                       rng: jax.Array | None = None,
+                       que_dir: Array | None = None,
+                       w2c: Array | None = None) -> Array:
     """Shortlist candidate depths by occlusion-aware surface likelihood.
 
     :param que_depth: (qn, rn, cn) uniform candidate depths (sorted).
     :param prj: output of :func:`project_depth_info`.
+    :param que_dir: optional (qn, rn, cn, 3) NEGATED unit ray directions
+        (as produced by depth2points_spherical); with ``prj['normal']``
+        present enables backface culling: candidates whose forward ray
+        direction points along the surface normal in the reference camera
+        frame are discarded (reference
+        ``original_depth_guided_sample.py:112-154``, cos <= 0 mask).
+    :param w2c: (rfn, 3, 4) reference world-to-camera (for que_dir
+        transform).
     :return: (qn, rn, n_samples) selected depths (sorted, gaps filled).
     """
     mu, uncert, prj_depth = prj["mu"], prj["uncert"], prj["depth"]
@@ -84,6 +101,12 @@ def sample_depthguided(que_depth: Array, prj: dict, n_samples: int,
 
     # per-view Gaussian bin mass at the candidate (reference :156-162)
     valid = jnp.abs(mu - prj_depth) < depth_diff_max
+    if "normal" in prj and que_dir is not None and w2c is not None:
+        # forward ray dir = -que_dir; rotate into each ref camera frame
+        fwd = -que_dir                                    # (qn, rn, cn, 3)
+        fwd_cam = jnp.einsum("vij,qrcj->vqrci", w2c[:, :, :3], fwd)
+        cosd = jnp.sum(fwd_cam * prj["normal"], axis=-1)  # (rfn,qn,rn,cn)
+        valid = valid & (cosd <= 0.0)
     denom = sigma * jnp.sqrt(2.0)
     lik = 0.5 * jnp.abs(
         jax.scipy.special.erf((prj_depth + step / 2 - mu) / denom)

@@ -123,13 +123,29 @@ def compute_prob(near: Array, far: Array, mean: Array, var: Array,
     mix = jnp.concatenate([aw, 1.0 - aw], axis=-1)
     near = near[..., None]
     far = far[..., None]
-    cdf0 = 0.5 + 0.5 * jnp.tanh((near - mean) * var)
-    cdf1 = 0.5 + 0.5 * jnp.tanh((far - mean) * var)
+
+    # Fold every dim past (qn, rn) into the lane axis: the natural
+    # (..., dn, rfn, 2) layout leaves 2-wide minor dims that waste VPU
+    # lanes; one contiguous reshape (free) makes the tanh/mul chain run on
+    # dn*rfn*2-wide rows.
+    lead = near.shape[:2]
+
+    def fold(t):
+        return jnp.broadcast_to(t, jnp.broadcast_shapes(near.shape,
+                                                        mean.shape)
+                                ).reshape(*lead, -1)
+
+    nearf, farf, meanf, varf, mixf = (fold(t) for t in
+                                      (near, far, mean, var, mix))
+    cdf0 = 0.5 + 0.5 * jnp.tanh((nearf - meanf) * varf)
+    cdf1 = 0.5 + 0.5 * jnp.tanh((farf - meanf) * varf)
     if use_vis and vis is not None:
-        cdf0 = cdf0 * vis
-        cdf1 = cdf1 * vis
-    visibility = jnp.sum((1.0 - cdf0) * mix, axis=-1)
-    hit_prob = jnp.sum((cdf1 - cdf0) * mix, axis=-1)
+        visf = fold(jnp.broadcast_to(vis, mean.shape))
+        cdf0 = cdf0 * visf
+        cdf1 = cdf1 * visf
+    out_shape = jnp.broadcast_shapes(near.shape, mean.shape)
+    visibility = jnp.sum(((1.0 - cdf0) * mixf).reshape(out_shape), axis=-1)
+    hit_prob = jnp.sum(((cdf1 - cdf0) * mixf).reshape(out_shape), axis=-1)
     eps = 1e-5
     alpha = jnp.log(hit_prob / (visibility - hit_prob + eps) + eps)
     return alpha, visibility, hit_prob

@@ -156,29 +156,60 @@ class NeuralRayFtRenderer(nn.Module):
 def init_ft_params_from_gen(ft_model: NeuralRayFtRenderer,
                             gen_model: NeuralRayGenRenderer, gen_params: Any,
                             ref_info: dict, rng: jax.Array,
-                            example_data: dict) -> Any:
+                            example_data: dict) -> tuple:
     """Build ft params: gen weights transplanted + init-net ray features.
 
-    Reference ``renderer.py:954-1036`` (_initialization).
-    :return: (ft_params, cache) where cache holds mvs depth/uncert arrays.
+    Reference ``renderer.py:954-1036`` (_initialization): ray features come
+    from the gen init net (pre-vis-encoder — the ft model applies its own
+    vis encoder at every forward), MLP/encoder weights copy over by name,
+    and the per-view MVS depth (+ uncertainty when provided) is cached for
+    depth-guided fine sampling (``precompute_depth_sampling``).
+
+    :return: (ft_params, cache); cache = {"mvs_depth": (rfn, dh, dw, 1)
+        [, "mvs_uncert"]} ready for :func:`ft_depth_range_at_coords`.
     """
     ft_params = ft_model.init(rng, example_data)
-    # 1. ray_feats from the gen init net (pre-vis-encoder features).
-    init_out = gen_model.apply(
-        gen_params, ref_info["imgs"], ref_info["mvs_depth"],
-        method=NeuralRayGenRenderer.prepare_ref)
-    # prepare_ref applies the vis encoder; we want the raw init-net output,
-    # so recompute it directly through the init_net submodule scope.
+    # ray_feats = raw init-net output (pre-vis-encoder features); the ft
+    # forward applies the (transplanted) vis encoder itself.
     raw = gen_model.apply(
         gen_params, method=lambda m: m.init_net(ref_info["imgs"],
                                                 ref_info["mvs_depth"]))
     params = jax.tree_util.tree_map(lambda x: x, ft_params)  # shallow copy
     p = params["params"]
     p["ray_feats"] = raw
-    # 2. transplant shared submodules by name.
+    # transplant shared submodules by name.
     gp = gen_params["params"]
     for key in ["image_encoder", "vis_encoder", "dist_decoder", "agg_net",
                 "fine_dist_decoder", "fine_agg_net"]:
         if key in gp and key in p:
             p[key] = gp[key]
-    return params
+    cache = {"mvs_depth": ref_info["mvs_depth"]}
+    if "mvs_uncert" in ref_info:
+        cache["mvs_uncert"] = ref_info["mvs_uncert"]
+    return params, cache
+
+
+def ft_depth_range_at_coords(cache: dict, view_idx, coords: Array,
+                             height: int, width: int,
+                             fixed_sigma: float | None = None) -> Array:
+    """Per-ray (depth, mu-3s, mu+3s) prior for depth-guided fine sampling.
+
+    Reference ``renderer.py:1080-1096``: gather the cached MVS depth (and
+    std = sqrt(uncert), or ``ft_fixed_sigma``) of the query view at the
+    train coords, then ``precompute_depth_sampling``.
+
+    :param coords: (qn, rn, 2) pixel coords in the (height, width) frame.
+    :return: (qn, rn, 3).
+    """
+    from panogrf_tpu.ops.resample import interpolate_feats
+    depth_map = cache["mvs_depth"][view_idx][None]         # (1, dh, dw, 1)
+    d = interpolate_feats(depth_map, coords, height, width)[..., 0]
+    if fixed_sigma is not None:
+        std = jnp.full_like(d, fixed_sigma)
+    elif "mvs_uncert" in cache:
+        u = interpolate_feats(cache["mvs_uncert"][view_idx][None], coords,
+                              height, width)[..., 0]
+        std = jnp.sqrt(jnp.maximum(u, 1e-8))
+    else:
+        std = 0.1 * d  # fallback: 10% relative std
+    return precompute_depth_sampling(d, std)

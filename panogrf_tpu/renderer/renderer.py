@@ -244,13 +244,17 @@ class NeuralRayGenRenderer(nn.Module):
                           n_candidates: int = 128, n_gaussian: int = 8,
                           depth_diff_max: float = 0.05,
                           diner_sigma: float = 0.0,
-                          rng: Optional[jax.Array] = None) -> dict:
+                          rng: Optional[jax.Array] = None,
+                          backface_culling: bool = False) -> dict:
         """DINER occlusion-aware depth-guided rendering (reference
         ``renderer.py:570-597`` + ``original_depth_guided_sample.py``).
 
         ``ref_data`` additionally needs ``mvs_depth`` and ``mvs_uncert``
         maps.  Candidates are shortlisted by MVS surface likelihood and the
         selected depths rendered with the coarse decoder.
+        ``backface_culling`` computes per-view MVS normals
+        (``depth2normal``) and discards candidates seen from behind
+        (reference ``renderer.py:713-714`` + ``render_ops.py:260-290``).
         """
         from panogrf_tpu.renderer.diner import (project_depth_info,
                                                 sample_depthguided)
@@ -259,12 +263,19 @@ class NeuralRayGenRenderer(nn.Module):
         cand, _ = ro.sample_depth(qn, rn, n_candidates, self.min_depth,
                                   self.max_depth, use_disp=False)
         directions = conv.ray_directions(self.height, self.width)
-        que_pts, _ = ro.depth2points_spherical(coords, cand, que_c2w,
-                                               directions)
+        que_pts, que_dir = ro.depth2points_spherical(coords, cand, que_c2w,
+                                                     directions)
+        if backface_culling and "mvs_normal" not in ref_data:
+            from panogrf_tpu.renderer.sph_solver import depth2normal
+            ref_data = dict(ref_data)
+            ref_data["mvs_normal"] = depth2normal(ref_data["mvs_depth"],
+                                                  conv)
         prj = project_depth_info(ref_data, que_pts, conv)
         que_depth = sample_depthguided(
             cand, prj, self.depth_sample_num, n_gaussian, self.min_depth,
-            self.max_depth, depth_diff_max, diner_sigma, rng)
+            self.max_depth, depth_diff_max, diner_sigma, rng,
+            que_dir=que_dir if backface_culling else None,
+            w2c=ref_data["w2c"] if backface_culling else None)
         outputs = self.render_by_depth(que_depth, coords, que_c2w,
                                        que_depth_range, ref_data,
                                        ref_depth_range, is_fine=False)

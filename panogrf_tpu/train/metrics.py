@@ -115,3 +115,100 @@ def depth_metrics_erp(pred: Array, gt: Array, min_depth: float = 0.1,
         thresh = 1.25 ** (i + 1)
         out[name] = jnp.sum((ratio < thresh).astype(jnp.float32) * wv) / denom
     return out
+
+
+def depth_metrics_erp_full(pred: Array, gt: Array, min_depth: float = 0.1,
+                           max_depth: float = 10.0) -> dict:
+    """Reference-exact ERP depth table (``train_depth.py:995-1106``):
+    unweighted l1/l2/rmse, sin(phi)-weighted wl1/wl2/wrmse, inverse-depth
+    imae/irmse, and relative_{105,110,125,125_2,125_3} accuracy fractions
+    (relative error < threshold - 1 — NOT the max-ratio delta).
+
+    pred/gt: (H, W) or (H, W, 1) radial distances in meters.
+    """
+    pred = pred.reshape(pred.shape[0], pred.shape[1]).astype(jnp.float32)
+    gt = gt.reshape(gt.shape[0], gt.shape[1]).astype(jnp.float32)
+    h, w = gt.shape
+    v = (jnp.arange(h, dtype=jnp.float32) + 0.5) * (math.pi / h)
+    wmap = jnp.broadcast_to(jnp.sin(v)[:, None], (h, w))
+    valid = ((gt > min_depth) & (gt < max_depth)).astype(jnp.float32)
+    vsum = jnp.sum(valid) + 1e-7
+    mw = wmap * valid
+    mwsum = jnp.sum(mw) + 1e-7
+
+    inv = lambda d: jnp.where(valid > 0, 1.0 / jnp.maximum(d, 1e-6), 0.0)
+    abs_err = jnp.abs(gt - pred) * valid
+    out = {
+        "l1_error": jnp.sum(abs_err) / vsum,
+        "l2_error": jnp.sum((gt - pred) ** 2) / vsum,
+        "wl1_error": jnp.sum(jnp.abs(gt - pred) * mw) / mwsum,
+        "wl2_error": jnp.sum((gt - pred) ** 2 * mw) / mwsum,
+        "imae_error": jnp.sum(jnp.abs(inv(gt) - inv(pred)) * valid) / vsum,
+        "irmse_error": jnp.sqrt(
+            jnp.sum((inv(gt) - inv(pred)) ** 2 * valid) / vsum),
+    }
+    out["rmse_error"] = jnp.sqrt(out["l2_error"])
+    out["wrmse_error"] = jnp.sqrt(out["wl2_error"])
+    rel = jnp.abs(gt - pred) / jnp.maximum(gt, 1e-6) * valid
+    for name, t in [("relative_105", 1.05), ("relative_110", 1.10),
+                    ("relative_125", 1.25), ("relative_125_2", 1.25 ** 2),
+                    ("relative_125_3", 1.25 ** 3)]:
+        out[name] = jnp.sum(((rel < t - 1.0) & (valid > 0)).astype(
+            jnp.float32)) / vsum
+    return out
+
+
+def distance_to_zdepth(distance: Array) -> Array:
+    """ERP radial distance -> z-depth (inverse of the stitcher's
+    zdepth_to_distance ratio; reference ``distance_to_zdepth_torch``,
+    ``habitat_data_neuray_ft_lmdb.py:208``).  (H, W) or (H, W, 1).
+    """
+    squeeze = distance.shape[-1] == 1
+    d = distance[..., 0] if squeeze else distance
+    h, w = d.shape[-2:]
+    theta = (jnp.arange(w, dtype=jnp.float32) + 0.5) * (2 * math.pi / w)
+    phi = (jnp.arange(h, dtype=jnp.float32) + 0.5) * (math.pi / h)
+    tt, pp = jnp.meshgrid(theta, phi)
+    dirs = jnp.stack([jnp.sin(pp) * jnp.sin(tt), jnp.cos(pp),
+                      jnp.sin(pp) * jnp.cos(tt)], -1)
+    m = jnp.maximum(jnp.max(jnp.abs(dirs), axis=-1), 1e-6)
+    cw = h // 2
+    k = (cw - 1.0) / cw
+    ratio = jnp.sqrt(1.0 + (1.0 / m ** 2 - 1.0) * k * k)
+    out = d / ratio
+    return out[..., None] if squeeze else out
+
+
+def depth_metrics_zdepth(pred: Array, gt: Array, min_depth: float = 0.1,
+                         max_depth: float = 10.0) -> dict:
+    """Cube-face z-depth metric table (reference ``train_depth.py:
+    1108-1193`` compute_zdepth_results): convert radial distance to
+    z-depth, resample onto the four lateral cube faces, and score
+    l1/rmse/imae/irmse + relative thresholds on valid (0.1 < z < max)
+    pixels.  Face set matches the reference's ``cubemap_sides=(2,3,4,5)``
+    (its four lateral faces; our layout's laterals are faces 0-3).
+    """
+    from panogrf_tpu.core.cubemap import equi_to_cube
+    pz = distance_to_zdepth(pred.reshape(*pred.shape[:2], -1)[..., :1])
+    gz = distance_to_zdepth(gt.reshape(*gt.shape[:2], -1)[..., :1])
+    face_w = gt.shape[0] // 2
+    pc = equi_to_cube(pz, face_w)[:4, ..., 0]    # (4, fw, fw) laterals
+    gc = equi_to_cube(gz, face_w)[:4, ..., 0]
+    valid = ((gc > 0.1) & (gc < max_depth)).astype(jnp.float32)
+    vsum = jnp.sum(valid) + 1e-7
+    inv = lambda d: jnp.where(valid > 0, 1.0 / jnp.maximum(d, 1e-6), 0.0)
+    out = {
+        "l1_error": jnp.sum(jnp.abs(gc - pc) * valid) / vsum,
+        "l2_error": jnp.sum((gc - pc) ** 2) / vsum,
+        "imae_error": jnp.sum(jnp.abs(inv(gc) - inv(pc)) * valid) / vsum,
+        "irmse_error": jnp.sqrt(
+            jnp.sum((inv(gc) - inv(pc)) ** 2 * valid) / vsum),
+    }
+    out["rmse_error"] = jnp.sqrt(out["l2_error"])
+    rel = jnp.abs(gc - pc) / jnp.maximum(gc, 1e-6) * valid
+    for name, t in [("relative_105", 1.05), ("relative_110", 1.10),
+                    ("relative_125", 1.25), ("relative_125_2", 1.25 ** 2),
+                    ("relative_125_3", 1.25 ** 3)]:
+        out[name] = jnp.sum(((rel < t - 1.0) & (valid > 0)).astype(
+            jnp.float32)) / vsum
+    return out

@@ -216,6 +216,61 @@ def convert_equi(sd: Dict[str, Array], prefix: str = "unet") -> tuple:
     return params, stats
 
 
+def convert_cost_reg(sd: Dict[str, Array],
+                     prefix: str = "unet3d") -> tuple:
+    """MVSNet-style CostRegNet (``use_new_reg3dnet``) -> flax
+    :class:`panogrf_tpu.nn.blocks.CostRegNet` subtree.
+
+    Reference key layout (``models/cost_reg.py:99-174``): convN.conv.weight
+    + convN.bn.* for conv0..conv6 (encoder) and conv7/conv9/conv11
+    (up decoder), prob.conv.weight.
+    :return: (params, batch_stats) for the CostRegNet module scope.
+    """
+    params: dict = {}
+    stats: dict = {}
+    for name in ["conv0", "conv1", "conv2", "conv3", "conv4", "conv5",
+                 "conv6", "conv7", "conv9", "conv11"]:
+        t = f"{prefix}.{name}"
+        bn_p, bn_s = _bn(sd, f"{t}.bn")
+        params[name] = {
+            "WrapConv3D_0": {"Conv_0": {
+                "kernel": t2f_conv3d(sd[f"{t}.conv.weight"])}},
+            "BatchNorm_0": bn_p,
+        }
+        stats[name] = {"BatchNorm_0": bn_s}
+    params["prob"] = {"Conv_0": {
+        "kernel": t2f_conv3d(sd[f"{prefix}.prob.conv.weight"])}}
+    return params, stats
+
+
+# Full Equi mono-depth decoder order (reference
+# ``UniFuse…/networks/equi.py:45-63``): ModuleList index == call order of
+# the ConvELU_{i} modules in models.unifuse.EquiDepth; depthconv_0 last.
+_EQUI_DEPTH_DECODER_ORDER = ["upconv_5", "deconv_4", "upconv_4", "deconv_3",
+                             "upconv_3", "deconv_2", "upconv_2", "deconv_1",
+                             "upconv_1", "deconv_0"]
+
+
+def convert_equi_depth(torch_sd: Dict[str, Array]) -> dict:
+    """Equi mono-depth checkpoint -> flax variables for
+    :class:`panogrf_tpu.models.unifuse.EquiDepth`."""
+    sd = strip_module_prefix(torch_sd)
+    params: dict = {}
+    stats: dict = {}
+    p, s = convert_resnet_encoder(sd, "equi_encoder")
+    params["equi_encoder"] = p
+    stats["equi_encoder"] = s
+    for i in range(len(_EQUI_DEPTH_DECODER_ORDER)):
+        t = f"equi_decoder.{i}.conv.conv"
+        params[f"ConvELU_{i}"] = {"Conv_0": {
+            "kernel": t2f_conv(sd[f"{t}.weight"]),
+            "bias": sd[f"{t}.bias"]}}
+    t = f"equi_decoder.{len(_EQUI_DEPTH_DECODER_ORDER)}.conv"
+    params["Conv3x3Head_0"] = {"Conv_0": {
+        "kernel": t2f_conv(sd[f"{t}.weight"]), "bias": sd[f"{t}.bias"]}}
+    return {"params": params, "batch_stats": stats}
+
+
 def convert_mvs(torch_sd: Dict[str, Array],
                 cnn3d_num_layer: int = 3) -> dict:
     """FullPipeline (MVS) checkpoint -> flax variables for

@@ -81,3 +81,37 @@ def test_build_render_sample_schema():
     # srcs are the opposite refs
     np.testing.assert_allclose(np.asarray(data["src_imgs_info"]["imgs"][0]),
                                np.asarray(s["rgb_panos"][2]))
+
+
+def test_depth_metrics_full_and_zdepth():
+    """Reference-exact ERP table + cube-face z-depth variants."""
+    import jax.numpy as jnp
+    from panogrf_tpu.train import metrics as M
+    rng = np.random.default_rng(0)
+    h, w = 32, 64
+    gt = rng.uniform(1.0, 8.0, size=(h, w)).astype(np.float32)
+    pred = gt + rng.normal(0, 0.1, size=(h, w)).astype(np.float32)
+    erp = {k: float(v) for k, v in
+           M.depth_metrics_erp_full(jnp.asarray(pred),
+                                    jnp.asarray(gt)).items()}
+    assert set(erp) == {"l1_error", "l2_error", "rmse_error", "wl1_error",
+                        "wl2_error", "wrmse_error", "imae_error",
+                        "irmse_error", "relative_105", "relative_110",
+                        "relative_125", "relative_125_2", "relative_125_3"}
+    assert 0 < erp["l1_error"] < 0.2
+    assert erp["relative_125"] >= erp["relative_105"]
+    # perfect prediction -> zero errors, full accuracy
+    perf = M.depth_metrics_erp_full(jnp.asarray(gt), jnp.asarray(gt))
+    assert float(perf["l1_error"]) < 1e-6
+    assert float(perf["relative_105"]) > 0.999
+
+    zd = {k: float(v) for k, v in
+          M.depth_metrics_zdepth(jnp.asarray(pred), jnp.asarray(gt)).items()}
+    assert 0 < zd["l1_error"] < 0.2 and np.isfinite(zd["irmse_error"])
+
+    # distance->zdepth inverts the stitcher's zdepth->distance exactly
+    from panogrf_tpu.data.lmdb_import import zdepth_to_distance
+    z = rng.uniform(1.0, 5.0, size=(h, w, 1)).astype(np.float32)
+    dist = zdepth_to_distance(z)
+    back = np.asarray(M.distance_to_zdepth(jnp.asarray(dist)))
+    np.testing.assert_allclose(back, z, rtol=1e-5, atol=1e-5)

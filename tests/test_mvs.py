@@ -131,3 +131,21 @@ def test_mvs_model_multiview_and_uncertainty():
                                mono_feat)
     assert out["pred_final"].shape == (B, H, W, 2)
     assert (np.asarray(out["pred_final"][..., 1]) > 0).all()
+
+
+def test_full_pipeline_new_reg3dnet():
+    """use_new_reg3dnet swaps in the MVSNet CostRegNet regularizer."""
+    rng = np.random.default_rng(0)
+    b, v, h, w = 1, 2, 32, 64
+    model = mvs.MVSDepthModel(num_hypotheses=8, magnet_num_samples=0,
+                         min_depth=0.5, max_depth=10.0,
+                         use_new_reg3dnet=True, wo_mono_feat=True)
+    panos = jnp.asarray(rng.uniform(size=(b, v, h, w, 3)), jnp.float32)
+    rots = jnp.broadcast_to(jnp.eye(3), (b, v, 3, 3))
+    trans = jnp.zeros((b, v, 3)).at[:, 0, 2].set(0.5)
+    mono = jnp.asarray(rng.uniform(1, 5, size=(b, h, w, 1)), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), panos, rots, trans, mono)
+    assert "reg3dnet" in variables["params"]
+    out = model.apply(variables, panos, rots, trans, mono)
+    assert out["depth"].shape == (b, h, w, 1)
+    assert np.isfinite(np.asarray(out["depth"])).all()

@@ -77,3 +77,63 @@ def test_diner_render_path():
         method=NeuralRayGenRenderer.render_rays_diner))(params)
     assert out["pixel_colors_nr_fine"].shape == (1, 8, 3)
     assert np.isfinite(np.asarray(out["pixel_colors_nr_fine"])).all()
+
+
+def test_diner_backface_culling():
+    """backface_culling computes mvs_normal and still renders finite; and
+    the normal mask actually rejects back-facing candidates."""
+    H, W, DH, DW = 32, 64, 16, 32
+    rng = np.random.default_rng(1)
+    model = NeuralRayGenRenderer(height=H, width=W, depth_hw=(DH, DW),
+                                 depth_sample_num=8, fine_depth_sample_num=8)
+    ref_info = {
+        "imgs": jnp.asarray(rng.uniform(size=(2, H, W, 3)), jnp.float32),
+        "mvs_depth": jnp.asarray(rng.uniform(1, 5, size=(2, DH, DW, 1)),
+                                 jnp.float32),
+        "depth_range": jnp.asarray([[0.5, 15.0]] * 2),
+        "w2c": jnp.broadcast_to(
+            jnp.concatenate([jnp.eye(3), jnp.zeros((3, 1))], 1),
+            (2, 3, 4)).at[1, 2, 3].set(0.5),
+    }
+    coords = jnp.stack(
+        [jnp.asarray(rng.integers(0, W, (1, 8)), jnp.float32),
+         jnp.asarray(rng.integers(0, H, (1, 8)), jnp.float32)], -1)
+    c2w = jnp.concatenate([jnp.eye(3), jnp.asarray([[.1], [0.], [.2]])], 1)
+    qdr = jnp.asarray([[0.5, 15.0]])
+    data = {"ref_imgs_info": ref_info,
+            "que_imgs_info": {"coords": coords, "c2w": c2w,
+                              "depth_range": qdr}}
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), data)
+    ref_data = model.apply(params, ref_info["imgs"], ref_info["mvs_depth"],
+                           method=NeuralRayGenRenderer.prepare_ref)
+    ref_data["w2c"] = ref_info["w2c"]
+    ref_data["mvs_depth"] = ref_info["mvs_depth"]
+    ref_data["mvs_uncert"] = jnp.full_like(ref_info["mvs_depth"], 0.04)
+    out = jax.jit(lambda p: model.apply(
+        p, ref_data, coords, c2w, qdr, ref_info["depth_range"],
+        n_candidates=32, backface_culling=True,
+        method=NeuralRayGenRenderer.render_rays_diner))(params)
+    assert np.isfinite(np.asarray(out["pixel_colors_nr_fine"])).all()
+
+    # unit check: a candidate whose forward dir aligns with the surface
+    # normal (cos > 0, back-facing) is rejected by the validity mask
+    from panogrf_tpu.renderer import diner
+    prj = {
+        "mu": jnp.full((1, 1, 1, 2), 2.0),
+        "uncert": jnp.full((1, 1, 1, 2), 0.01),
+        "depth": jnp.full((1, 1, 1, 2), 2.0),
+        # normal along +z for both candidates
+        "normal": jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0]),
+                                   (1, 1, 1, 2, 3)),
+    }
+    qd = jnp.asarray([[[1.9, 2.1]]])
+    # que_dir is NEGATED unit dir; forward = -que_dir
+    fwd_back = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0]), (1, 1, 2, 3))
+    w2c = jnp.concatenate([jnp.eye(3), jnp.zeros((3, 1))], 1)[None]
+    z_cull = diner.sample_depthguided(qd, prj, 2, 0, 0.5, 15.0,
+                                      que_dir=-fwd_back, w2c=w2c)
+    z_keep = diner.sample_depthguided(qd, prj, 2, 0, 0.5, 15.0,
+                                      que_dir=fwd_back, w2c=w2c)
+    # culled: both candidates rejected -> uniform fill (far from 2.0)
+    assert float(jnp.abs(z_keep - 2.0).min()) < 0.2
+    assert float(jnp.abs(z_cull - 2.0).min()) > 0.5

@@ -131,3 +131,40 @@ def test_depth_loss_head():
     out = jax.jit(model.apply)(variables, data)
     assert "depth_mean" in out and "depth_mean_fine" in out
     assert out["depth_mean"].shape[0] == 2  # rfn
+
+
+def test_sample_fine_depth_matches_gather_form():
+    """Sum-form inverse CDF == the classic searchsorted+gather form."""
+    import numpy as np
+    rng = np.random.default_rng(0)
+    qn, rn, dn, fdn = 1, 64, 16, 24
+    depth = np.sort(rng.uniform(0.5, 15.0, size=(qn, rn, dn)), -1)
+    hit = rng.uniform(size=(qn, rn, dn)).astype(np.float32)
+    depth_range = jnp.asarray([[0.5, 15.0]])
+
+    fine = ro.sample_fine_depth(jnp.asarray(depth, jnp.float32),
+                                jnp.asarray(hit), depth_range, fdn, None)
+
+    # reference gather-based implementation
+    d = np.asarray(depth, np.float64)
+    near, far = -1.0 / 0.5, -1.0 / 15.0
+    d = (-1.0 / d - near) / (far - near)
+    center = (d[..., 1:] + d[..., :-1]) / 2.0
+    bins = np.concatenate([d[..., :1], center, d[..., -1:]], -1)
+    pdf = hit + 1e-5
+    pdf = pdf / pdf.sum(-1, keepdims=True)
+    cdf = np.concatenate([np.zeros_like(pdf[..., :1]),
+                          np.cumsum(pdf, -1)], -1)
+    u = (np.arange(fdn) + 0.5) / fdn
+    u = np.broadcast_to(u, (qn, rn, fdn))
+    inds = (cdf[..., None, :] <= u[..., :, None]).sum(-1)
+    below = np.maximum(inds - 1, 0)
+    above = np.minimum(inds, cdf.shape[-1] - 1)
+    take = lambda s, i: np.take_along_axis(s, i, -1)
+    cdf_b, cdf_a = take(cdf, below), take(cdf, above)
+    bin_b, bin_a = take(bins, below), take(bins, above)
+    denom = np.where(cdf_a - cdf_b < 1e-9, 1.0, cdf_a - cdf_b)
+    ref = bin_b + (u - cdf_b) / denom * (bin_a - bin_b)
+    ref = -1.0 / (ref * (far - near) + near)
+
+    np.testing.assert_allclose(np.asarray(fine), ref, rtol=2e-4, atol=2e-4)

@@ -133,9 +133,21 @@ def test_ft_renderer_init_from_gen_and_forward():
     ft = NeuralRayFtRenderer(rfn=2, ray_feats_hw=(DH // 4, DW // 4),
                              height=H, width=W, depth_sample_num=8,
                              fine_depth_sample_num=8)
-    ft_params = init_ft_params_from_gen(ft, gen, gen_params,
-                                        data["ref_imgs_info"],
-                                        jax.random.PRNGKey(1), data)
+    ft_params, ft_cache = init_ft_params_from_gen(
+        ft, gen, gen_params, data["ref_imgs_info"],
+        jax.random.PRNGKey(1), data)
+    assert ft_cache["mvs_depth"].shape == data["ref_imgs_info"][
+        "mvs_depth"].shape
+    # depth-guided prior from the cache (renderer.py:1080-1096)
+    from panogrf_tpu.renderer.ft_renderer import ft_depth_range_at_coords
+    fdr = ft_depth_range_at_coords(ft_cache, 0,
+                                   data["que_imgs_info"]["coords"], H, W)
+    assert fdr.shape == (*data["que_imgs_info"]["coords"].shape[:2], 3)
+    assert np.isfinite(np.asarray(fdr)).all()
+    # mu-3s <= mu <= mu+3s
+    f = np.asarray(fdr)
+    assert (f[..., 1] <= f[..., 0] + 1e-6).all()
+    assert (f[..., 0] <= f[..., 2] + 1e-6).all()
     # transplanted weights match
     a = jax.tree.leaves(ft_params["params"]["agg_net"])[0]
     b = jax.tree.leaves(gen_params["params"]["agg_net"])[0]

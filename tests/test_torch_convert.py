@@ -363,3 +363,88 @@ def test_extract_ray_feats():
     feats = tc.extract_ray_feats(sd)
     assert len(feats) == 2 and feats[0].shape == (64, 128, 32)
     assert feats[1][0, 0, 0] == 1.0
+
+
+def _fake_equi_depth_sd(rng):
+    """Reference UniFuse…/networks/equi.py state dict (full decoder)."""
+    sd = _fake_resnet18_sd("equi_encoder", rng)
+
+    def conv(k, o, i, s=3):
+        sd[f"{k}.weight"] = rng.normal(size=(o, i, s, s)).astype(np.float32)
+        sd[f"{k}.bias"] = np.zeros(o, np.float32)
+
+    dims = [(512, 256), (256 + 256, 256), (256, 128), (128 + 128, 128),
+            (128, 64), (64 + 64, 64), (64, 32), (32 + 64, 32), (32, 16),
+            (16, 16)]
+    for i, (cin, cout) in enumerate(dims):
+        conv(f"equi_decoder.{i}.conv.conv", cout, cin)
+    conv(f"equi_decoder.{len(dims)}.conv", 1, 16)
+    return sd
+
+
+def test_convert_equi_depth_shapes_and_forward():
+    from panogrf_tpu.models.unifuse import EquiDepth
+    rng = np.random.default_rng(4)
+    sd = _fake_equi_depth_sd(rng)
+    converted = tc.convert_equi_depth(sd)
+
+    model = EquiDepth()
+    equi = jnp.zeros((1, 64, 128, 3))
+    init_vars = jax.jit(model.init)(jax.random.PRNGKey(0), equi)
+    problems = tc.verify_tree_shapes(converted["params"],
+                                     init_vars["params"])
+    assert not problems, problems[:10]
+    converted = jax.tree.map(jnp.asarray, converted)
+    out = jax.jit(model.apply)(converted, equi)
+    assert np.isfinite(np.asarray(out["pred_depth"])).all()
+    assert out["pred_depth"].shape == (1, 64, 128, 1)
+    assert out["mono_feat"].shape == (1, 32, 64, 32)
+
+
+def test_select_mono_factory():
+    from panogrf_tpu.models.unifuse import (EquiDepth, UniFuse as UF,
+                                            select_mono)
+    m = select_mono({"mono_net": "Equi", "max_depth": 8.0,
+                     "mono_uncertainty": True})
+    assert isinstance(m, EquiDepth) and m.max_depth == 8.0 and m.uncertainty
+    m = select_mono({"mono_net": "UniFuse", "mono_fusion": "cat"})
+    assert isinstance(m, UF) and m.fusion_type == "cat"
+    with pytest.raises(ValueError):
+        select_mono({"mono_net": "PanoFormer"})
+
+
+def test_convert_cost_reg_shapes_and_forward():
+    from panogrf_tpu.nn.blocks import CostRegNet
+    rng = np.random.default_rng(7)
+    sd = {}
+
+    def conv3(k, o, i):
+        sd[f"{k}.conv.weight"] = rng.normal(size=(o, i, 3, 3, 3)).astype(
+            np.float32)
+
+    def bn(k, c):
+        sd[f"{k}.bn.weight"] = np.ones(c, np.float32)
+        sd[f"{k}.bn.bias"] = np.zeros(c, np.float32)
+        sd[f"{k}.bn.running_mean"] = np.zeros(c, np.float32)
+        sd[f"{k}.bn.running_var"] = np.ones(c, np.float32)
+
+    dims = {"conv0": (8, 4), "conv1": (16, 8), "conv2": (16, 16),
+            "conv3": (32, 16), "conv4": (32, 32), "conv5": (64, 32),
+            "conv6": (64, 64), "conv7": (32, 64), "conv9": (16, 32),
+            "conv11": (8, 16)}
+    for name, (o, i) in dims.items():
+        conv3(f"unet3d.{name}", o, i)
+        bn(f"unet3d.{name}", o)
+    conv3("unet3d.prob", 1, 8)
+
+    p, s = tc.convert_cost_reg(sd)
+    model = CostRegNet()
+    x = jnp.zeros((1, 8, 16, 32, 4))
+    init_vars = jax.jit(model.init)(jax.random.PRNGKey(0), x)
+    assert not tc.verify_tree_shapes(p, init_vars["params"])
+    assert not tc.verify_tree_shapes(s, init_vars["batch_stats"])
+    out = jax.jit(model.apply)(
+        {"params": jax.tree.map(jnp.asarray, p),
+         "batch_stats": jax.tree.map(jnp.asarray, s)}, x)
+    assert out.shape == (1, 8, 16, 32, 1)
+    assert np.isfinite(np.asarray(out)).all()

@@ -44,7 +44,13 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--chunk", type=int, default=2048)
     ap.add_argument("--dtype", default="bfloat16")
+    ap.add_argument("--only", default="",
+                    help="comma-separated stage substrings to run")
     args = ap.parse_args()
+    only = [s for s in args.only.split(",") if s]
+
+    def want(name):
+        return not only or any(s in name for s in only)
 
     from panogrf_tpu.core.sphere import M3D
     from panogrf_tpu.ops.resample import (interpolate_feats,
@@ -75,8 +81,9 @@ def main():
         return (pts + v[..., :2].astype(jnp.float32).swapaxes(0, 1)
                 * 1e-6) % 512
 
-    res["gather_imgs_512x1024x3_ms"] = timeit_chain(g_imgs, pts0)
-    res["gather_merged_128x256x64_ms"] = timeit_chain(g_merged, pts0)
+    if want("gather"):
+        res["gather_imgs_512x1024x3_ms"] = timeit_chain(g_imgs, pts0)
+        res["gather_merged_128x256x64_ms"] = timeit_chain(g_merged, pts0)
 
     # --- dist decoder (point-major (1, rn, dn, rfn, 32)) -------------------
     dec = MixtureLogisticsDistDecoder()
@@ -89,7 +96,8 @@ def main():
                + aw)
         return feats + (1e-6 * upd).astype(feats.dtype)
 
-    res["dist_decoder_ms"] = timeit_chain(g_dec, feats0)
+    if want("dist_decoder"):
+        res["dist_decoder_ms"] = timeit_chain(g_dec, feats0)
 
     # --- compute_prob -------------------------------------------------------
     near0 = jnp.asarray(rng.uniform(0, 1, size=(1, rn, dn, rfn)), jnp.float32)
@@ -102,7 +110,8 @@ def main():
                                        False)
         return near + 1e-6 * hit
 
-    res["compute_prob_ms"] = timeit_chain(g_prob, near0)
+    if want("compute_prob"):
+        res["compute_prob_ms"] = timeit_chain(g_prob, near0)
 
     # --- agg net (point-major) ----------------------------------------------
     from panogrf_tpu.renderer.agg_net import DefaultAggregationNet
@@ -121,11 +130,12 @@ def main():
 
     def g_agg(prj):
         density, colors = agg.apply(avars, prj, que_dir)
-        upd = (1e-6 * density[..., None]).astype(dt)
+        upd = (1e-6 * density[..., None, None]).astype(dt)
         return {k: v + upd.astype(v.dtype) if v.shape[-1] == 1 else v
                 for k, v in prj.items()}
 
-    res["agg_net_ms"] = timeit_chain(g_agg, prj, iters=4)
+    if want("agg"):
+        res["agg_net_ms"] = timeit_chain(g_agg, prj, iters=4)
 
     # --- projection math ----------------------------------------------------
     w2c = jnp.broadcast_to(
@@ -138,7 +148,8 @@ def main():
         xy, d = M3D.project_to_pixels(cam, H, W)
         return pts3 + 1e-6 * jnp.mean(xy, 1)[..., :2].sum(-1, keepdims=True)
 
-    res["projection_math_ms"] = timeit_chain(g_proj, pts3)
+    if want("projection"):
+        res["projection_math_ms"] = timeit_chain(g_proj, pts3)
 
     # --- fine resampling (searchsorted) --------------------------------------
     depth0 = jnp.broadcast_to(jnp.linspace(0.5, 15, dn), (1, rn, dn))
@@ -149,9 +160,14 @@ def main():
         f = ro.sample_fine_depth(d, hit, drange, dn, None)
         return jnp.sort(f, -1)
 
-    res["sample_fine_depth_ms"] = timeit_chain(g_fine, depth0)
+    if want("fine"):
+        res["sample_fine_depth_ms"] = timeit_chain(g_fine, depth0)
 
     # --- one full coarse render_by_depth pass -------------------------------
+    if not want("coarse"):
+        res["device"] = str(jax.devices()[0])
+        print(json.dumps({k: (round(v, 2) if isinstance(v, float) else v) for k, v in res.items()}, indent=1))
+        return
     from panogrf_tpu.renderer.renderer import NeuralRayGenRenderer
     model = NeuralRayGenRenderer(height=H, width=W,
                                  compute_dtype=args.dtype,

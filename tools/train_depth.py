@@ -35,6 +35,8 @@ def main():
     ap.add_argument("--max-depth", type=float, default=10.0)
     ap.add_argument("--hypotheses", type=int, default=64)
     ap.add_argument("--mvs-uncertainty", action="store_true")
+    ap.add_argument("--new-reg3dnet", action="store_true",
+                    help="MVSNet CostRegNet regularizer (use_new_reg3dnet)")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
@@ -105,7 +107,8 @@ def main():
     model = MVSDepthModel(
         min_depth=args.min_depth, max_depth=args.max_depth,
         num_hypotheses=args.hypotheses,
-        mvs_uncertainty=args.mvs_uncertainty)
+        mvs_uncertainty=args.mvs_uncertainty,
+        use_new_reg3dnet=args.new_reg3dnet)
     first = make_batch()
     variables = jax.jit(model.init)(
         jax.random.PRNGKey(0), first["panos"], first["rots"],

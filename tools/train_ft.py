@@ -36,6 +36,11 @@ def main():
     ap.add_argument("--rays", type=int, default=512)
     ap.add_argument("--lr", type=float, default=1e-4)
     ap.add_argument("--lr-ray-feats", type=float, default=1e-2)
+    ap.add_argument("--depth-guided", action="store_true",
+                    help="3-sigma depth-guided fine sampling from the "
+                         "cached MVS depth (reference "
+                         "depth_guided_ray_sampling)")
+    ap.add_argument("--ft-fixed-sigma", type=float, default=None)
     ap.add_argument("--name", default="ft_run")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
@@ -81,9 +86,10 @@ def main():
 
     ft = NeuralRayFtRenderer(rfn=2, ray_feats_hw=(DH // 4, DW // 4),
                              height=H, width=W)
-    ft_params = init_ft_params_from_gen(ft, gen, gen_params,
-                                        data["ref_imgs_info"],
-                                        jax.random.PRNGKey(1), data)
+    ft_params, ft_cache = init_ft_params_from_gen(ft, gen, gen_params,
+                                                  data["ref_imgs_info"],
+                                                  jax.random.PRNGKey(1),
+                                                  data)
 
     # --- lr_diff param groups (reference ft_lr_common_manager.py:15) ------
     def label(path, _):
@@ -101,6 +107,8 @@ def main():
     c2w_all = imgs_info.c2w_from_w2c(w2c_all)
     ref_ids = list(imgs_info.REF_IDS)
 
+    from panogrf_tpu.renderer.ft_renderer import ft_depth_range_at_coords
+
     def make_batch(step_rng):
         i = int(jax.random.randint(step_rng, (), 0, len(ref_ids)))
         qid = ref_ids[i]
@@ -109,8 +117,12 @@ def main():
         d["que_imgs_info"]["imgs"] = s["rgb_panos"][qid][None]
         xs = rng.integers(0, W, args.rays)
         ys = rng.integers(0, H, args.rays)
-        d["que_imgs_info"]["coords"] = jnp.asarray(
-            np.stack([xs, ys], -1)[None], jnp.float32)
+        coords_q = jnp.asarray(np.stack([xs, ys], -1)[None], jnp.float32)
+        d["que_imgs_info"]["coords"] = coords_q
+        if args.depth_guided:
+            # i indexes ref_ids == the cached mvs_depth rows (refs order)
+            d["que_imgs_info"]["ft_depth_range"] = ft_depth_range_at_coords(
+                ft_cache, i, coords_q, H, W, args.ft_fixed_sigma)
         return d
 
     @jax.jit

@@ -29,6 +29,10 @@ def main():
     ap.add_argument("--pool", type=int, default=16,
                     help="procedural scene pool size (no-shards mode)")
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--mv", type=int, default=0, metavar="V",
+                    help="multi-view training with V>2 views (reference "
+                         "run_training_mv.py protocol: refs = "
+                         "range(V-1), query drawn from test_views)")
     args = ap.parse_args()
 
     if args.cpu:
@@ -63,15 +67,29 @@ def main():
     rng = np.random.default_rng(cfg.train.seed)
     reader = ShardReader(args.shards) if args.shards else None
 
+    # MV protocol (reference run_training_mv.py + get_database_split_mv):
+    # V views, refs = range(reference_idx), query drawn from test_views.
+    mv = args.mv or (cfg.data.seq_len if cfg.data.test_views else 0)
+    if mv:
+        ref_ids = list(range(mv - 1))
+        que_ids = list(cfg.data.test_views) or [mv - 1]
+    else:
+        ref_ids, que_ids = list(imgs_info.REF_IDS), [imgs_info.QUE_ID]
+
     # Without shards, pre-render a pool of procedural scenes once: per-step
     # eager scene ray-tracing costs seconds on this box (eager dispatch
     # ~4ms/op), so the pool keeps the TPU busy with training, not data gen.
     pool = []
     if reader is None:
+        from panogrf_tpu.data.synthetic import make_multi_view_sample
         for i in range(args.pool):
             scene = SphereScene.random(int(rng.integers(1 << 30)))
-            s = make_three_view_sample(scene, H, W, cfg.data.m3d_dist,
-                                       seed=i)
+            if mv:
+                s = make_multi_view_sample(scene, H, W, mv,
+                                           cfg.data.m3d_dist, seed=i)
+            else:
+                s = make_three_view_sample(scene, H, W, cfg.data.m3d_dist,
+                                           seed=i)
             pool.append(jax.tree.map(jnp.asarray, s))
 
     def batches():
@@ -83,9 +101,14 @@ def main():
             else:
                 s = pool[int(rng.integers(len(pool)))]
             coords = imgs_info.sample_train_coords(rng, H, W, 512)
-            data = imgs_info.build_render_sample(
-                s, coords, (R.min_depth, R.max_depth))
-            d = s["depth_panos"][jnp.asarray(imgs_info.REF_IDS)]
+            if mv:
+                que = que_ids[int(rng.integers(len(que_ids)))]
+                data = imgs_info.build_render_sample_mv(
+                    s, coords, ref_ids, que, (R.min_depth, R.max_depth))
+            else:
+                data = imgs_info.build_render_sample(
+                    s, coords, (R.min_depth, R.max_depth))
+            d = s["depth_panos"][jnp.asarray(ref_ids)]
             data["ref_imgs_info"]["mvs_depth"] = resize_linear(
                 d, (DH, DW), axes=(1, 2))
             data.pop("src_imgs_info", None)
@@ -122,8 +145,13 @@ def main():
     from panogrf_tpu.train import metrics as M
     val_scenes = []
     for vi in range(2):  # validate_num=2 like the reference ft cap
-        s = _mk(_S.random(10_000 + vi), H, W, cfg.data.m3d_dist,
-                seed=10_000 + vi)
+        if mv:
+            from panogrf_tpu.data.synthetic import make_multi_view_sample
+            s = make_multi_view_sample(_S.random(10_000 + vi), H, W, mv,
+                                       cfg.data.m3d_dist, seed=10_000 + vi)
+        else:
+            s = _mk(_S.random(10_000 + vi), H, W, cfg.data.m3d_dist,
+                    seed=10_000 + vi)
         val_scenes.append(s)
 
     def val_fn(params, step):
@@ -132,19 +160,18 @@ def main():
         vals = []
         for s in val_scenes:
             ref_info = imgs_info.build_imgs_info(
-                s, imgs_info.REF_IDS, (R.min_depth, R.max_depth))
+                s, ref_ids, (R.min_depth, R.max_depth))
             ref_info["mvs_depth"] = resize_linear(
-                s["depth_panos"][jnp.asarray(imgs_info.REF_IDS)],
+                s["depth_panos"][jnp.asarray(ref_ids)],
                 (DH, DW), axes=(1, 2))
-            que_w2c = imgs_info.pose_w2c(s["rots"], s["trans"])[
-                imgs_info.QUE_ID]
+            que_w2c = imgs_info.pose_w2c(s["rots"], s["trans"])[que_ids[0]]
             c2w = imgs_info.c2w_from_w2c(que_w2c[None])[0]
             out = full_render.render_image(
                 model, params, ref_info, c2w,
                 jnp.asarray([[R.min_depth, R.max_depth]]),
                 chunk=min(8192, H * W))
             m = M.render_metrics(out["rgb"],
-                                 s["rgb_panos"][imgs_info.QUE_ID])
+                                 s["rgb_panos"][que_ids[0]])
             vals.append({k: float(v) for k, v in m.items()})
         for k in vals[0]:
             outs[k] = float(np.mean([v[k] for v in vals]))
