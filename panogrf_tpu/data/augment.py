@@ -65,3 +65,35 @@ def augment_sample(sample: dict, rng: jax.Array,
     shift = int(jax.random.randint(k1, (), 0, max_shift or w))
     out = yaw_roll(sample, shift)
     return photometric_jitter(out, k2)
+
+
+def jitter_rotation(rot: "np.ndarray", rng, angle_deg: float = 30.0):
+    """Pose jitter: perturb each Euler angle of a rotation by
+    U(-angle/2, +angle/2) degrees (reference ``mutils/jitter.py:6-18``,
+    the legacy SynSin augmentation — optional, off by default).
+
+    :param rot: (3, 3) rotation matrix; :param rng: np.random.Generator.
+    :return: jittered (3, 3) rotation matrix.
+    """
+    import numpy as np
+
+    # zyz Euler angles (matches quaternion.as_euler_angles convention)
+    def to_euler(r):
+        beta = np.arccos(np.clip(r[2, 2], -1.0, 1.0))
+        if abs(r[2, 2]) > 1 - 1e-8:
+            return np.asarray([np.arctan2(r[1, 0], r[0, 0]), beta, 0.0])
+        alpha = np.arctan2(r[1, 2], r[0, 2])
+        gamma = np.arctan2(r[2, 1], -r[2, 0])
+        return np.asarray([alpha, beta, gamma])
+
+    def rz(a):
+        c, s = np.cos(a), np.sin(a)
+        return np.asarray([[c, -s, 0], [s, c, 0], [0, 0, 1]])
+
+    def ry(a):
+        c, s = np.cos(a), np.sin(a)
+        return np.asarray([[c, 0, s], [0, 1, 0], [-s, 0, c]])
+
+    e = to_euler(np.asarray(rot, np.float64))
+    e = e + (rng.random(3) - 0.5) * np.pi * angle_deg / 180.0
+    return (rz(e[0]) @ ry(e[1]) @ rz(e[2])).astype(np.float32)

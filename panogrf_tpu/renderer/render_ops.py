@@ -213,6 +213,27 @@ def project_points_dict(ref_data: dict, que_pts: Array,
                                1e-5)
 
     xy_vm = jnp.swapaxes(prj_xy, 0, 1)                        # (rfn, pn, 2)
+    if "merged_full" in ref_data:
+        # fast_gather: ONE row fetch per (sample, view) from the full-res
+        # [rgb | ray_feats | img_feats] map (renderer.prepare_ref).
+        nd = ref_data["ray_feats"].shape[-1]
+        allf = interpolate_feats_pointmajor(ref_data["merged_full"], xy_vm,
+                                            h, w)
+        prj_rgb = allf[..., :3]
+        prj_ray_feats = allf[..., 3:3 + nd]
+        prj_img_feats = allf[..., 3 + nd:]
+
+        def rs(t):
+            return t.reshape(qn, rn, dn, rfn, -1)
+
+        return {
+            "dir": rs(prj_dir),
+            "pts": rs(prj_xy),
+            "depth": rs(prj_depth[..., None]),
+            "ray_feats": rs(prj_ray_feats),
+            "rgb": rs(prj_rgb),
+            "img_feats": rs(prj_img_feats),
+        }
     prj_rgb = interpolate_feats_pointmajor(ref_data["imgs"], xy_vm, h, w)
     if "merged_feats" in ref_data:
         nd = ref_data["ray_feats"].shape[-1]

@@ -7,7 +7,12 @@ minus LPIPS (no pretrained VGG in this image; see train/metrics.py).
 
 Usage:
   python tools/render.py --ckpt data/model/run/latest --num 4 \
-      [--height 256 --width 512] [--out data/render_out]
+      [--height 256 --width 512] [--out data/render_out] \
+      [--shards data/shards/test] [--lpips-weights lpips_vgg.npz]
+
+Already-written frames are skipped for idempotent restarts (reference
+``render.py:250-254``).  With ``--shards`` the scenes come from a shard
+dataset (e.g. imported reference LMDB data) instead of procedural ones.
 """
 
 import argparse
@@ -44,6 +49,11 @@ def main():
                     help="'eval': held-out query view (with metrics); "
                          "'inter': interpolated path between refs (video)")
     ap.add_argument("--inter-num", type=int, default=12)
+    ap.add_argument("--shards", default=None,
+                    help="render scenes from this shard dir (real data)")
+    ap.add_argument("--lpips-weights", default=None)
+    ap.add_argument("--no-skip", action="store_true",
+                    help="re-render frames even if the file exists")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
@@ -85,10 +95,31 @@ def main():
 
     from panogrf_tpu.renderer import poses as P
 
+    lpips_score = None
+    if args.lpips_weights:
+        from panogrf_tpu.train import lpips as L
+        lpips_score = L.lpips_fn(L.load_lpips_weights(args.lpips_weights))
+
+    reader = None
+    if args.shards:
+        from panogrf_tpu.data.shards import ShardReader
+        reader = ShardReader(args.shards)
+
     all_m = []
-    for qi in range(args.num):
-        scene = SphereScene.random(9000 + qi)
-        s = make_three_view_sample(scene, H, W, args.m3d_dist, seed=100 + qi)
+    num = min(args.num, len(reader)) if reader is not None else args.num
+    for qi in range(num):
+        if reader is not None:
+            s = {k: jnp.asarray(v) for k, v in reader[qi].items()}
+        else:
+            scene = SphereScene.random(9000 + qi)
+            s = make_three_view_sample(scene, H, W, args.m3d_dist,
+                                       seed=100 + qi)
+        # idempotent restart: skip frames already on disk (reference
+        # render.py:250-254)
+        if not args.no_skip and args.pose_type == "eval" and \
+                (out_dir / f"{qi}-nr_fine.png").exists():
+            print(f"[{qi}] exists, skipping")
+            continue
         data = imgs_info.build_render_sample(s, coords)
         ref_info = data["ref_imgs_info"]
         ref_info["mvs_depth"] = resize_linear(
@@ -120,6 +151,8 @@ def main():
         dt = time.perf_counter() - t0
         gt = s["rgb_panos"][imgs_info.QUE_ID]
         m = {k: float(v) for k, v in M.render_metrics(out["rgb"], gt).items()}
+        if lpips_score is not None:
+            m["lpips"] = float(lpips_score(gt[None], out["rgb"][None])[0])
         m["sec_per_frame"] = dt
         all_m.append(m)
         save_image(out_dir / f"{qi}-nr_fine.png", out["rgb"])
