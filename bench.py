@@ -12,6 +12,7 @@ at ~30 MB/s, so we chain K whole-frame renders on device, reduce to one
 scalar, fetch it (forcing completion), and subtract the measured RTT.
 """
 
+import argparse
 import json
 import time
 
@@ -21,6 +22,13 @@ import jax.numpy as jnp
 
 
 def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--chunk", type=int, default=None)
+    # fast_gather is quality-neutral on trained checkpoints (A/B on the
+    # synthetic eval: 33.313 vs 33.293 PSNR) and ~1.5x faster -> default.
+    ap.add_argument("--no-fast-gather", dest="fast_gather",
+                    action="store_false", default=True)
+    args = ap.parse_args()
     from panogrf_tpu.renderer.renderer import NeuralRayGenRenderer
     from panogrf_tpu.renderer import full_render
 
@@ -33,6 +41,7 @@ def main():
 
     model = NeuralRayGenRenderer(
         height=H, width=W, depth_hw=(DH, DW),
+        fast_gather=args.fast_gather,
         compute_dtype="bfloat16" if not on_cpu else "float32")
     rng = np.random.default_rng(0)
     ref_info = {
@@ -55,7 +64,7 @@ def main():
 
     c2w = data["que_imgs_info"]["c2w"]
     qdr = data["que_imgs_info"]["depth_range"]
-    chunk = 2048  # VMEM sweet spot: 8.6s/frame vs 9.9s at 4096, 12s at 32768
+    chunk = args.chunk or 2048  # measured sweet spot (see --chunk sweep)
 
     ref_data = full_render.prepare_ref_data(model, params, ref_info)
 

@@ -170,3 +170,22 @@ class Trainer:
             if step % self.cfg.save_interval == 0:
                 self.save("latest")
         return last_metrics
+
+
+def load_checkpoint_params(path):
+    """Load renderer params from any of our checkpoint layouts.
+
+    Accepts both the round-1 params-only checkpoints and the full trainer
+    state ({"state": {params, opt_state, step}, "best_metric"}) written by
+    :meth:`Trainer.save` — render/ft CLIs only need the params subtree.
+    """
+    import orbax.checkpoint as ocp
+    from pathlib import Path
+    path = Path(path).absolute()
+    try:
+        raw = ocp.StandardCheckpointer().restore(path)
+    except Exception:
+        raw = ocp.PyTreeCheckpointer().restore(str(path))
+    if isinstance(raw, dict) and "state" in raw:
+        return raw["state"]["params"]
+    return raw

@@ -46,6 +46,7 @@ def main():
     ap.add_argument("--dtype", default="bfloat16")
     ap.add_argument("--only", default="",
                     help="comma-separated stage substrings to run")
+    ap.add_argument("--fast-gather", action="store_true")
     args = ap.parse_args()
     only = [s for s in args.only.split(",") if s]
 
@@ -171,6 +172,7 @@ def main():
     from panogrf_tpu.renderer.renderer import NeuralRayGenRenderer
     model = NeuralRayGenRenderer(height=H, width=W,
                                  compute_dtype=args.dtype,
+                                 fast_gather=args.fast_gather,
                                  use_hierarchical_sampling=False)
     ref_info = {
         "imgs": jnp.asarray(rng.uniform(size=(rfn, H, W, 3)), jnp.float32),

@@ -54,6 +54,10 @@ def main():
     ap.add_argument("--lpips-weights", default=None)
     ap.add_argument("--no-skip", action="store_true",
                     help="re-render frames even if the file exists")
+    ap.add_argument("--fast-gather", action="store_true",
+                    help="single-gather fast path (see renderer docstring)")
+    ap.add_argument("--bf16", action="store_true",
+                    help="bfloat16 compute path (serving default on TPU)")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
@@ -73,7 +77,10 @@ def main():
 
     H, W = args.height, args.width
     DH, DW = args.depth_height, args.depth_width
-    model = NeuralRayGenRenderer(height=H, width=W, depth_hw=(DH, DW))
+    model = NeuralRayGenRenderer(
+        height=H, width=W, depth_hw=(DH, DW),
+        fast_gather=args.fast_gather,
+        compute_dtype="bfloat16" if args.bf16 else "float32")
 
     out_dir = Path(args.out)
     out_dir.mkdir(parents=True, exist_ok=True)
@@ -88,9 +95,8 @@ def main():
         axes=(1, 2))
     params = jax.jit(model.init)(jax.random.PRNGKey(0), data0)
     if args.ckpt:
-        import orbax.checkpoint as ocp
-        params = ocp.StandardCheckpointer().restore(
-            Path(args.ckpt).absolute(), params)
+        from panogrf_tpu.train.trainer import load_checkpoint_params
+        params = load_checkpoint_params(args.ckpt)
         print(f"restored {args.ckpt}")
 
     from panogrf_tpu.renderer import poses as P

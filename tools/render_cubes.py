@@ -67,9 +67,8 @@ def main():
         axes=(1, 2))
     params = jax.jit(model.init)(jax.random.PRNGKey(0), data0)
     if args.ckpt:
-        import orbax.checkpoint as ocp
-        params = ocp.StandardCheckpointer().restore(
-            Path(args.ckpt).absolute(), params)
+        from panogrf_tpu.train.trainer import load_checkpoint_params
+        params = load_checkpoint_params(args.ckpt)
 
     # face pixel coords
     ys, xs = np.meshgrid(np.arange(fw), np.arange(fw), indexing="ij")

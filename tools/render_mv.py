@@ -75,9 +75,8 @@ def main():
         if params is None:
             params = jax.jit(model.init)(jax.random.PRNGKey(0), data)
             if args.ckpt:
-                import orbax.checkpoint as ocp
-                params = ocp.StandardCheckpointer().restore(
-                    Path(args.ckpt).absolute(), params)
+                from panogrf_tpu.train.trainer import load_checkpoint_params
+                params = load_checkpoint_params(args.ckpt)
                 print(f"restored {args.ckpt}")
         out = full_render.render_image(
             model, params, ref_info, data["que_imgs_info"]["c2w"],

@@ -79,9 +79,8 @@ def main():
     gen = NeuralRayGenRenderer(height=H, width=W, depth_hw=(DH, DW))
     gen_params = jax.jit(gen.init)(jax.random.PRNGKey(0), data)
     if args.gen_ckpt:
-        import orbax.checkpoint as ocp
-        gen_params = ocp.StandardCheckpointer().restore(
-            Path(args.gen_ckpt).absolute(), gen_params)
+        from panogrf_tpu.train.trainer import load_checkpoint_params
+        gen_params = load_checkpoint_params(args.gen_ckpt)
         print(f"restored gen checkpoint {args.gen_ckpt}")
 
     ft = NeuralRayFtRenderer(rfn=2, ray_feats_hw=(DH // 4, DW // 4),
