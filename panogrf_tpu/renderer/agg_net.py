@@ -54,11 +54,18 @@ class MultiHeadAttention(nn.Module):
         vh = nn.Dense(self.n_head * self.d_v, use_bias=False,
                       name="w_vs", dtype=q.dtype)(v).reshape(b, -1, self.n_head, self.d_v)
         qh, kh, vh = (jnp.swapaxes(t, 1, 2) for t in (qh, kh, vh))
-        attn = jnp.einsum("bhqd,bhkd->bhqk", qh / (self.d_k ** 0.5), kh)
+        # NOTE: a VPU outer-product-sum reformulation of these scores
+        # (avoiding the d_k=4 MXU contraction) measured SLOWER end to end
+        # (5.45 vs 4.53 s/frame) — XLA already handles this einsum well
+        # once the pass runs in bf16.  Keep the einsum.
+        qh = qh / (self.d_k ** 0.5)
+        attn = jnp.einsum("bhqd,bhkd->bhqk", qh, kh)
         if mask is not None:
             attn = jnp.where(mask[:, None] == 0, -1e9, attn)
         attn = jax.nn.softmax(attn, axis=-1)
-        out = jnp.einsum("bhqk,bhkd->bhqd", attn, vh)
+        # out contraction is over k (= dn samples): fine on the MXU
+        out = jnp.einsum("bhqk,bhkd->bhqd", attn,
+                         vh.astype(attn.dtype)).astype(q.dtype)
         out = jnp.swapaxes(out, 1, 2).reshape(b, lq, -1)
         out = nn.Dense(self.d_model, use_bias=False, name="fc",
                        dtype=q.dtype)(out)
@@ -167,17 +174,19 @@ class IBRNetWithNeuRay(nn.Module):
         geo, rgb_out, nvalid = ibr_pool_op(
             flat(rgb_feat), flat(neuray_feat), flat(ray_diff), flat(mask),
             params, self.use_pallas)
-        geo = geo.reshape(nr, dn, 16).astype(jnp.float32)
+        # keep the ray attention in the compute dtype (bf16 inference) —
+        # forcing f32 here doubled the attention pass's HBM traffic
+        geo = geo.reshape(nr, dn, 16).astype(dt)
         rgb_out = rgb_out.reshape(nr, dn, 3)
         num_valid_obs = nvalid.reshape(nr, dn, 1).astype(jnp.float32)
 
-        pos = jnp.asarray(sinusoid_pos_encoding(dn, 16))
+        pos = jnp.asarray(sinusoid_pos_encoding(dn, 16)).astype(dt)
         globalfeat = geo + pos[None]
-        attn_mask = (num_valid_obs[..., 0] > 1).astype(jnp.float32)
+        attn_mask = (num_valid_obs[..., 0] > 1).astype(dt)
         globalfeat = MultiHeadAttention(name="ray_attention")(
             globalfeat, globalfeat, globalfeat, mask=attn_mask[..., None])
         sigma = _Seq((16, 1), final_act="relu",
-                     name="out_geometry_fc")(globalfeat)
+                     name="out_geometry_fc")(globalfeat).astype(jnp.float32)
         sigma = jnp.where(num_valid_obs < 1, 0.0, sigma)
         return jnp.concatenate([rgb_out.astype(jnp.float32), sigma], axis=-1)
 
@@ -213,11 +222,17 @@ class DefaultAggregationNet(nn.Module):
         if self.wo_geometry:
             prob_embedding = jnp.zeros_like(prob_embedding)
 
-        # dir-diff feature (reference ``aggregate_net.py:8-14``)
-        dir_diff = prj_dict["dir"] - que_dir[..., None, :]
-        dir_dot = jnp.sum(prj_dict["dir"] * que_dir[..., None, :], axis=-1,
-                          keepdims=True)
-        dir_diff = jnp.concatenate([dir_diff, dir_dot], axis=-1)
+        # dir-diff feature (reference ``aggregate_net.py:8-14``) —
+        # precomputed in the flat projection layout when available
+        # (render_ops.project_points_dict with que_dir): the 5-dim
+        # formulation here cost ~2.4 ms/chunk in minor-dim lane padding.
+        if "dir_diff" in prj_dict:
+            dir_diff = prj_dict["dir_diff"]
+        else:
+            dir_diff = prj_dict["dir"] - que_dir[..., None, :]
+            dir_dot = jnp.sum(prj_dict["dir"] * que_dir[..., None, :],
+                              axis=-1, keepdims=True)
+            dir_diff = jnp.concatenate([dir_diff, dir_dot], axis=-1)
 
         def to_rays(t):  # (qn, rn, dn, rfn, c) -> (qn*rn, dn, rfn, c)
             return t.reshape(qn * rn, dn, rfn, t.shape[-1])

@@ -160,7 +160,9 @@ class NeuralRayGenRenderer(nn.Module):
             directions = conv.ray_directions(self.height, self.width)
             que_pts, que_dir = ro.depth2points_spherical(coords, que_depth,
                                                          que_c2w, directions)
-        prj = ro.project_points_dict(ref_data, que_pts, conv)
+        dt = jnp.dtype(self.compute_dtype)
+        prj = ro.project_points_dict(ref_data, que_pts, conv,
+                                     que_dir=que_dir.astype(dt))
 
         decoder = self.fine_dist_decoder if is_fine else self.dist_decoder
         mean, var, vis, aw = decoder(prj["ray_feats"])
@@ -170,7 +172,6 @@ class NeuralRayGenRenderer(nn.Module):
             prj["depth"][..., 0], que_dists, ref_depth_range)
         alpha, visibility, hit_prob = compute_prob(
             near, far, f32(mean), f32(var), f32(vis), f32(aw), self.use_vis)
-        dt = jnp.dtype(self.compute_dtype)
         prj["alpha"] = alpha[..., None].astype(dt)
         prj["vis"] = visibility[..., None].astype(dt)
         prj["hit_prob"] = hit_prob[..., None].astype(dt)
