@@ -27,7 +27,6 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from panogrf_tpu.core import cubemap
-from panogrf_tpu.nn.resnet import ResNetEncoder, resnet18
 from panogrf_tpu.nn.fusion import make_fusion
 from panogrf_tpu.nn.blocks import upsample2x_nearest, wrap_pad_2d
 
@@ -46,6 +45,20 @@ IMAGENET_STD = jnp.asarray([0.229, 0.224, 0.225], jnp.float32)
 
 def normalize_imagenet(x: Array) -> Array:
     return (x - IMAGENET_MEAN) / IMAGENET_STD
+
+
+def _make_encoder(num_layers: int):
+    """Encoder choice (reference ``models/unifuse.py:33-39``:
+    {2: mobilenet_v2, 18: resnet18, 34: resnet34, ...})."""
+    from panogrf_tpu.nn import resnet as R
+    if num_layers == 2:
+        return R.MobileNetV2Encoder
+    if num_layers == 18:
+        return lambda **kw: R.ResNetEncoder((2, 2, 2, 2), **kw)
+    if num_layers == 34:
+        return lambda **kw: R.ResNetEncoder((3, 4, 6, 3), **kw)
+    raise ValueError(f"unsupported num_layers {num_layers} "
+                     "(2=mobilenet_v2, 18, 34)")
 
 
 class ConvELU(nn.Module):
@@ -100,11 +113,10 @@ class UniFuse(nn.Module):
         b, h, w, _ = equi.shape
         assert cube.shape[1] == 6 and cube.shape[2] == h // 2
 
-        equi_feats = ResNetEncoder(wrap=self.wrap,
-                                   name="equi_encoder")(equi, train)
+        enc = _make_encoder(self.num_layers)
+        equi_feats = enc(wrap=self.wrap, name="equi_encoder")(equi, train)
         cube_flat = cube.reshape(b * 6, *cube.shape[2:])
-        cube_feats = ResNetEncoder(wrap=False,
-                                   name="cube_encoder")(cube_flat, train)
+        cube_feats = enc(wrap=False, name="cube_encoder")(cube_flat, train)
 
         def c2e(feat_flat: Array, level: int) -> Array:
             """Cube feature (B*6, fh, fw, C) -> ERP (B, eh, ew, C)."""
@@ -178,6 +190,7 @@ class Equi(nn.Module):
     """
     wrap: bool = True
     with_sin: bool = False
+    num_layers: int = 18
 
     @nn.compact
     def __call__(self, equi: Array, train: bool = False) -> Array:
@@ -188,7 +201,8 @@ class Equi(nn.Module):
                           * math.pi / h)
             sin_map = jnp.broadcast_to(phi[None, :, None, None], (b, h, w, 1))
             equi = jnp.concatenate([equi, sin_map], axis=-1)
-        feats = ResNetEncoder(wrap=self.wrap, name="equi_encoder")(equi, train)
+        feats = _make_encoder(self.num_layers)(
+            wrap=self.wrap, name="equi_encoder")(equi, train)
 
         x = upsample2x_nearest(ConvELU(NUM_CH_DEC[4], self.wrap)(feats[4]))
         x = jnp.concatenate([x, feats[3]], axis=-1)
@@ -214,11 +228,12 @@ class EquiDepth(nn.Module):
     max_depth: float = 10.0
     wrap: bool = True
     uncertainty: bool = False
+    num_layers: int = 18
 
     @nn.compact
     def __call__(self, equi: Array, train: bool = False) -> dict:
-        feats = ResNetEncoder(wrap=self.wrap,
-                              name="equi_encoder")(equi, train)
+        feats = _make_encoder(self.num_layers)(
+            wrap=self.wrap, name="equi_encoder")(equi, train)
         outputs = {}
         x = upsample2x_nearest(ConvELU(NUM_CH_DEC[4], self.wrap)(feats[4]))
         x = jnp.concatenate([x, feats[3]], axis=-1)
@@ -273,13 +288,16 @@ def select_mono(cfg, mvsnet: bool = False):
     uncert = bool(get("mono_uncertainty", False))
     max_depth = float(get("max_depth", 10.0))
     wrap = bool(get("use_wrap_padding", True))
+    layers = int(get("mono_num_layers", get("num_layers", 18)))
     if name == "UniFuse":
         return UniFuse(max_depth=max_depth, uncertainty=uncert, wrap=wrap,
+                       num_layers=layers,
                        fusion_type=str(get("mono_fusion",
                                            get("fusion", "cee"))),
                        se_in_fusion=bool(get("se_in_fusion", True)))
     if name == "Equi":
-        return EquiDepth(max_depth=max_depth, uncertainty=uncert, wrap=wrap)
+        return EquiDepth(max_depth=max_depth, uncertainty=uncert, wrap=wrap,
+                         num_layers=layers)
     raise ValueError(
         f"unknown mono_net {name!r}; available: {MONO_NETS} "
         "(PanoFormer/FreDSNet/ACDNet require external repos even in the "

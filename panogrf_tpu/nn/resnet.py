@@ -112,3 +112,93 @@ def resnet18(wrap: bool = True) -> ResNetEncoder:
 
 def resnet34(wrap: bool = True) -> ResNetEncoder:
     return ResNetEncoder((3, 4, 6, 3), wrap)
+
+
+# ---------------------------------------------------------------------------
+# MobileNetV2 encoder (reference ``models/mobilenet.py:82-207``, the
+# ``num_layers == 2`` choice of the UniFuse/Equi encoder dict,
+# ``models/unifuse.py:33``).
+# ---------------------------------------------------------------------------
+
+class _ConvBNReLU6(nn.Module):
+    """conv(+groups) -> BN -> ReLU6 (reference ``mobilenet.py:38-48``)."""
+    features: int
+    kernel: int = 3
+    stride: int = 1
+    depthwise: bool = False
+    wrap: bool = True
+
+    @nn.compact
+    def __call__(self, x: Array, train: bool = False) -> Array:
+        p = (self.kernel - 1) // 2
+        if p:
+            if self.wrap:
+                x = wrap_pad_2d(x, p, p)
+            else:
+                x = jnp.pad(x, ((0, 0), (p, p), (p, p), (0, 0)))
+        groups = x.shape[-1] if self.depthwise else 1
+        x = nn.Conv(self.features, (self.kernel,) * 2,
+                    strides=(self.stride,) * 2, padding="VALID",
+                    feature_group_count=groups, use_bias=False)(x)
+        x = _BN()(x, train)
+        return jnp.minimum(nn.relu(x), 6.0)
+
+
+class InvertedResidual(nn.Module):
+    """MobileNetV2 block (reference ``mobilenet.py:50-80``)."""
+    features: int
+    stride: int = 1
+    expand_ratio: int = 6
+    wrap: bool = True
+
+    @nn.compact
+    def __call__(self, x: Array, train: bool = False) -> Array:
+        inp = x.shape[-1]
+        hidden = int(round(inp * self.expand_ratio))
+        h = x
+        if self.expand_ratio != 1:
+            h = _ConvBNReLU6(hidden, 1, wrap=self.wrap)(h, train)
+        h = _ConvBNReLU6(hidden, 3, self.stride, depthwise=True,
+                         wrap=self.wrap)(h, train)
+        h = nn.Conv(self.features, (1, 1), use_bias=False)(h)
+        h = _BN()(h, train)
+        if self.stride == 1 and inp == self.features:
+            return x + h
+        return h
+
+
+# (expand_ratio, channels, repeats, stride) — reference mobilenet.py:110-119
+_MBV2_SETTING = ((1, 16, 1, 1), (6, 24, 2, 2), (6, 32, 3, 2),
+                 (6, 64, 4, 2), (6, 96, 3, 1), (6, 160, 3, 2),
+                 (6, 320, 1, 1))
+
+
+class MobileNetV2Encoder(nn.Module):
+    """MobileNetV2 5-tap feature pyramid, same interface as
+    :class:`ResNetEncoder`.
+
+    Tap points match reference ``mobilenet.py:168-201``: features after
+    Sequential indices [0:2], [2:4], [4:7], [7:14], [14:18] -> channels
+    (16, 24, 32, 96, 320) at strides (2, 4, 8, 16, 32).
+    """
+    wrap: bool = True
+
+    @nn.compact
+    def __call__(self, x: Array, train: bool = False) -> list:
+        h = _ConvBNReLU6(32, 3, 2, wrap=self.wrap)(x, train)   # features[0]
+        feats = []
+        block_idx = 1
+        taps = {2, 4, 7, 14, 18}
+        for t, c, n, s in _MBV2_SETTING:
+            for i in range(n):
+                if block_idx in taps:
+                    feats.append(h)
+                h = InvertedResidual(c, s if i == 0 else 1, t,
+                                     self.wrap)(h, train)
+                block_idx += 1
+        feats.append(h)                                        # after [17]
+        return feats
+
+
+def mobilenet_v2(wrap: bool = True) -> MobileNetV2Encoder:
+    return MobileNetV2Encoder(wrap)

@@ -76,3 +76,16 @@ def test_conv3d_wrap_equivariance():
     y1 = jax.jit(mod.apply)(variables, jnp.roll(x, 3, axis=3))
     y2 = jnp.roll(jax.jit(mod.apply)(variables, x), 3, axis=3)
     np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), atol=1e-5)
+
+
+def test_mobilenet_v2_encoder_taps():
+    """MobileNetV2 encoder: reference tap channels/strides
+    (mobilenet.py:168-201, num_ch_enc = [16, 24, 32, 96, 320])."""
+    from panogrf_tpu.nn.resnet import mobilenet_v2
+    m = mobilenet_v2()
+    x = jnp.zeros((1, 64, 128, 3))
+    v = jax.jit(m.init)(jax.random.PRNGKey(0), x)
+    feats = m.apply(v, x)
+    assert [f.shape for f in feats] == [
+        (1, 32, 64, 16), (1, 16, 32, 24), (1, 8, 16, 32),
+        (1, 4, 8, 96), (1, 2, 4, 320)]
