@@ -28,6 +28,11 @@ def main():
     # synthetic eval: 33.313 vs 33.293 PSNR) and ~1.5x faster -> default.
     ap.add_argument("--no-fast-gather", dest="fast_gather",
                     action="store_false", default=True)
+    ap.add_argument("--with-depth-stack", action="store_true",
+                    help="also time the per-scene cost: frozen mono+MVS "
+                         "depth inference + reference-view encoding "
+                         "(amortized across all frames of a scene; "
+                         "reported as scene_prep_ms)")
     args = ap.parse_args()
     from panogrf_tpu.renderer.renderer import NeuralRayGenRenderer
     from panogrf_tpu.renderer import full_render
@@ -96,14 +101,65 @@ def main():
 
     rays_per_sec = H * W / sec
     baseline_sec = 1.0 * (H * W) / (512 * 1024)  # scale target with size
-    print(json.dumps({
+    result = {
         "metric": "novel_pano_render_512x1024" if not on_cpu
                   else f"novel_pano_render_{H}x{W}_cpu",
         "value": round(sec * 1000.0, 2),
         "unit": "ms/frame",
         "vs_baseline": round(baseline_sec / sec, 3),
         "rays_per_sec": int(rays_per_sec),
-    }))
+    }
+
+    if args.with_depth_stack:
+        # Per-SCENE cost the frame loop amortizes: frozen UniFuse + MVS
+        # depth inference and reference-view encoding (prepare_ref).
+        from panogrf_tpu.models.depth_stack import DepthStack
+        from panogrf_tpu.models.unifuse import UniFuse
+        from panogrf_tpu.models.mvs import MVSDepthModel
+        mono = UniFuse()
+        mvs = MVSDepthModel()
+        # UniFuse needs >= 128x256 for its deepest cube->ERP level
+        mono_hw = (max(H, 128), max(W, 256))
+        equi0 = ref_info["imgs"][:1]
+        from panogrf_tpu.core import cubemap as _cm
+        cube0 = jax.vmap(lambda e: _cm.equi_to_cube(e, H // 2))(equi0)
+        mono_params = jax.jit(mono.init)(jax.random.PRNGKey(1), equi0,
+                                         cube0)
+        panos0 = jnp.zeros((1, 2, DH, DW, 3))
+        rots0 = jnp.broadcast_to(jnp.eye(3), (1, 2, 3, 3))
+        trans0 = jnp.zeros((1, 2, 3))
+        mdep0 = jnp.ones((1, mono_hw[0], mono_hw[1], 1))
+        mfeat0 = jnp.zeros((1, mono_hw[0] // 2, mono_hw[1] // 2, 32))
+        mvs_params = jax.jit(mvs.init)(jax.random.PRNGKey(2), panos0,
+                                       rots0, trans0, mdep0, mfeat0)
+        src_imgs = jnp.flip(ref_info["imgs"], axis=0)
+        src_w2c = jnp.flip(ref_info["w2c"], axis=0)
+
+        # params must be jit ARGUMENTS: closed-over trees get embedded as
+        # HLO constants and blow the tunnel's compile-request size limit
+        @jax.jit
+        def prep_sum(imgs, mono_p, mvs_p, render_p):
+            stack = DepthStack(mono, mono_p, mvs, mvs_p,
+                               mono_hw=mono_hw, depth_hw=(DH, DW))
+            d = stack(imgs, src_imgs, ref_info["w2c"], src_w2c)
+            ref = model.apply(render_p, imgs, d["mvs_depth"],
+                              method=NeuralRayGenRenderer.prepare_ref)
+            return sum(jnp.sum(v.astype(jnp.float32))
+                       for v in jax.tree.leaves(ref)) + jnp.sum(
+                           d["mvs_depth"])
+
+        _ = float(prep_sum(ref_info["imgs"], mono_params, mvs_params,
+                           params))  # compile
+        times = []
+        for i in range(3):
+            imgs_i = ref_info["imgs"] + 1e-6 * i
+            t0 = time.perf_counter()
+            _ = float(prep_sum(imgs_i, mono_params, mvs_params, params))
+            times.append(time.perf_counter() - t0)
+        result["scene_prep_ms"] = round(
+            (max(min(times) - rtt, 1e-9)) * 1000.0, 2)
+
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":
