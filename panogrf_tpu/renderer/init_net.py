@@ -62,6 +62,11 @@ class CostVolumeInitNet(nn.Module):
     max_depth: float = 10.0
     feat_dim: int = 32
     wrap: bool = True
+    # 'ERP' or 'ERP+TP' (reference init_net_feature_type,
+    # ``init_net.py:516-524``)
+    feature_type: str = "ERP"
+    nrows: int = 4
+    patch_size: int = 64
 
     @nn.compact
     def __call__(self, imgs: Array, mvs_depth: Array) -> Array:
@@ -72,9 +77,16 @@ class CostVolumeInitNet(nn.Module):
         """
         dh, dw = self.depth_hw
         x = resize_linear(imgs, (dh, dw), axes=(1, 2))
-        ref_feats = ResUNetLight(out_dim=self.feat_dim, layers=(2, 3, 6),
-                                 inplanes=32, wrap=self.wrap,
-                                 name="res_net")(x)        # (rfn, dh/4, dw/4)
+        if self.feature_type == "ERP+TP":
+            from panogrf_tpu.nn.erp_tp import ERPTPEncoder
+            ref_feats = ERPTPEncoder(
+                out_dim=self.feat_dim, layers=(2, 3, 6), inplanes=32,
+                nrows=self.nrows, patch_size=self.patch_size,
+                wrap=self.wrap, name="res_net")(x)
+        else:
+            ref_feats = ResUNetLight(
+                out_dim=self.feat_dim, layers=(2, 3, 6), inplanes=32,
+                wrap=self.wrap, name="res_net")(x)     # (rfn, dh/4, dw/4)
 
         depth = normalize_inverse_depth(mvs_depth, self.min_depth,
                                         self.max_depth)

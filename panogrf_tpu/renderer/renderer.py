@@ -75,13 +75,30 @@ class NeuralRayGenRenderer(nn.Module):
     # synthetic eval).  Off by default for exact reference numerics.
     fast_gather: bool = False
 
+    # 'ERP' (ResUNetLight) or 'ERP+TP' (dual ERP + tangent-patch encoder,
+    # reference local_feature_type / init_net_feature_type knobs,
+    # ``renderer.py:96-104`` / ``init_net.py:516-524``)
+    local_feature_type: str = "ERP"
+    init_net_feature_type: str = "ERP"
+    nrows: int = 4
+    patch_size: int = 64
+
     def setup(self):
-        self.image_encoder = ResUNetLight(out_dim=32, layers=(1, 2, 6),
-                                          inplanes=16, wrap=self.wrap,
-                                          name="image_encoder")
+        if self.local_feature_type == "ERP+TP":
+            from panogrf_tpu.nn.erp_tp import ERPTPEncoder
+            self.image_encoder = ERPTPEncoder(
+                out_dim=32, layers=(1, 2, 6), inplanes=16,
+                nrows=self.nrows, patch_size=self.patch_size,
+                wrap=self.wrap, name="image_encoder")
+        else:
+            self.image_encoder = ResUNetLight(out_dim=32, layers=(1, 2, 6),
+                                              inplanes=16, wrap=self.wrap,
+                                              name="image_encoder")
         self.init_net = CostVolumeInitNet(
             depth_hw=self.depth_hw, min_depth=self.mvs_min_depth,
-            max_depth=self.mvs_max_depth, wrap=self.wrap, name="init_net")
+            max_depth=self.mvs_max_depth, wrap=self.wrap,
+            feature_type=self.init_net_feature_type, nrows=self.nrows,
+            patch_size=self.patch_size, name="init_net")
         self.vis_encoder = DefaultVisEncoder(wrap=self.wrap,
                                              name="vis_encoder")
         self.dist_decoder = MixtureLogisticsDistDecoder(
