@@ -26,6 +26,12 @@ def main():
     ap.add_argument("--lr", type=float, default=1e-4)
     ap.add_argument("--name", default="mono_run")
     ap.add_argument("--max-depth", type=float, default=10.0)
+    ap.add_argument("--mono-net", default="UniFuse",
+                    choices=["UniFuse", "Equi"],
+                    help="select_mono factory choice (Equi = ERP-only "
+                         "mono-depth net, reference select_mononet.py)")
+    ap.add_argument("--num-layers", type=int, default=18,
+                    help="encoder depth: 2=mobilenet_v2, 18/34=resnet")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
@@ -39,13 +45,17 @@ def main():
     from panogrf_tpu.data.shards import ShardReader
     from panogrf_tpu.data.synthetic import (SphereScene,
                                             make_three_view_sample)
-    from panogrf_tpu.models.unifuse import UniFuse, normalize_imagenet
+    from panogrf_tpu.models.unifuse import (UniFuse, normalize_imagenet,
+                                            select_mono)
     from panogrf_tpu.train.depth_trainer import DepthTrainer, DepthTrainConfig
 
     H, W = args.height, args.width
     loss = "gaussian_nll" if args.uncertainty else args.loss
-    model = UniFuse(max_depth=args.max_depth,
-                    uncertainty=args.uncertainty)
+    model = select_mono({"mono_net": args.mono_net,
+                         "max_depth": args.max_depth,
+                         "mono_uncertainty": args.uncertainty,
+                         "mono_num_layers": args.num_layers})
+    is_unifuse = args.mono_net == "UniFuse"
     rng = np.random.default_rng(2022)
     reader = ShardReader(args.shards) if args.shards else None
 
@@ -67,24 +77,31 @@ def main():
         equi = jnp.asarray(np.stack(eqs), jnp.float32)
         gt = jnp.asarray(np.stack(gts), jnp.float32)
         equi_n = normalize_imagenet(equi)
-        cube = jax.vmap(lambda e: cubemap.equi_to_cube(e, H // 2))(equi_n)
-        return {"equi": equi_n, "cube": cube, "gt_depth": gt}
+        batch = {"equi": equi_n, "gt_depth": gt}
+        if is_unifuse:
+            batch["cube"] = jax.vmap(
+                lambda e: cubemap.equi_to_cube(e, H // 2))(equi_n)
+        return batch
 
     def batches():
         while True:
             yield make_batch()
 
     first = make_batch()
-    variables = jax.jit(model.init)(jax.random.PRNGKey(0), first["equi"],
-                                    first["cube"])
+
+    def _args(batch):
+        return ((batch["equi"], batch["cube"]) if is_unifuse
+                else (batch["equi"],))
+
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), *_args(first))
 
     def forward_fn(variables, batch, train):
         if train:
             out, new_state = model.apply(
-                variables, batch["equi"], batch["cube"], train=True,
+                variables, *_args(batch), train=True,
                 mutable=["batch_stats"])
             return out, new_state
-        out = model.apply(variables, batch["equi"], batch["cube"])
+        out = model.apply(variables, *_args(batch))
         return out, {}
 
     cfg = DepthTrainConfig(name=args.name, learning_rate=args.lr,
