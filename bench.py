@@ -69,7 +69,10 @@ def main():
 
     c2w = data["que_imgs_info"]["c2w"]
     qdr = data["que_imgs_info"]["depth_range"]
-    chunk = args.chunk or 2048  # measured sweet spot (see --chunk sweep)
+    # Measured sweep (fast_gather): 2048->4.53s, 1024->4.05, 512->3.54,
+    # 256->3.47, 128->3.43 (opt), 64->3.65 s/frame — small chunks let XLA
+    # keep the whole per-chunk pipeline in VMEM.
+    chunk = args.chunk or 128
 
     ref_data = full_render.prepare_ref_data(model, params, ref_info)
 
