@@ -28,6 +28,10 @@ def main():
     # synthetic eval: 33.313 vs 33.293 PSNR) and ~1.5x faster -> default.
     ap.add_argument("--no-fast-gather", dest="fast_gather",
                     action="store_false", default=True)
+    ap.add_argument("--diner", action="store_true",
+                    help="depth-guided (DINER) sampling operating point: "
+                         "64 guided samples, no fine pass — the "
+                         "reference's own low-sample mode")
     ap.add_argument("--with-depth-stack", action="store_true",
                     help="also time the per-scene cost: frozen mono+MVS "
                          "depth inference + reference-view encoding "
@@ -75,12 +79,17 @@ def main():
     chunk = args.chunk or 128
 
     ref_data = full_render.prepare_ref_data(model, params, ref_info)
+    mode = "diner" if args.diner else "hierarchical"
+    if args.diner:
+        ref_data["mvs_depth"] = ref_info["mvs_depth"]
+        ref_data["mvs_uncert"] = 0.04 * jnp.ones_like(
+            ref_info["mvs_depth"])
 
     @jax.jit
     def frame_sum(ref_data, c2w):
         rgb = full_render.render_image_device(
             model, params, ref_data, c2w, qdr, ref_info["depth_range"],
-            chunk=chunk)
+            chunk=chunk, mode=mode)
         return rgb.sum()
 
     # warmup / compile
@@ -104,9 +113,12 @@ def main():
 
     rays_per_sec = H * W / sec
     baseline_sec = 1.0 * (H * W) / (512 * 1024)  # scale target with size
+    name = "novel_pano_render_512x1024" if not on_cpu \
+        else f"novel_pano_render_{H}x{W}_cpu"
+    if args.diner:
+        name += "_diner"
     result = {
-        "metric": "novel_pano_render_512x1024" if not on_cpu
-                  else f"novel_pano_render_{H}x{W}_cpu",
+        "metric": name,
         "value": round(sec * 1000.0, 2),
         "unit": "ms/frame",
         "vs_baseline": round(baseline_sec / sec, 3),

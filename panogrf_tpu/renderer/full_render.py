@@ -49,12 +49,18 @@ def _render_chunk(model: NeuralRayGenRenderer, params, ref_data, coords,
 def render_image_device(model: NeuralRayGenRenderer, params: Any,
                         ref_data: dict, que_c2w: Array,
                         que_depth_range: Array, ref_depth_range: Array,
-                        chunk: int = 8192) -> Array:
+                        chunk: int = 8192, mode: str = "hierarchical",
+                        n_candidates: int = 128) -> Array:
     """Whole-pano render as ONE jitted computation.
 
     The chunk loop runs on-device via ``lax.map`` (compiles the chunk body
     once), eliminating per-chunk host dispatch entirely — the right shape
     for TPU serving and for honest benchmarking through the tunnel.
+
+    :param mode: 'hierarchical' (coarse+fine, the headline protocol) or
+        'diner' (occlusion-aware depth-guided sampling, the reference's
+        own low-sample operating point — needs ``mvs_depth`` and
+        ``mvs_uncert`` in ``ref_data``).
     :return: rgb (H, W, 3) on device.
     """
     h, w = model.height, model.width
@@ -66,9 +72,15 @@ def render_image_device(model: NeuralRayGenRenderer, params: Any,
         np.stack([xs, ys], -1).reshape(n // chunk, 1, chunk, 2), jnp.float32)
 
     def render_chunk(c):
-        out = model.apply(params, ref_data, c, que_c2w, que_depth_range,
-                          ref_depth_range,
-                          method=NeuralRayGenRenderer.render_rays)
+        if mode == "diner":
+            out = model.apply(params, ref_data, c, que_c2w,
+                              que_depth_range, ref_depth_range,
+                              n_candidates=n_candidates,
+                              method=NeuralRayGenRenderer.render_rays_diner)
+        else:
+            out = model.apply(params, ref_data, c, que_c2w,
+                              que_depth_range, ref_depth_range,
+                              method=NeuralRayGenRenderer.render_rays)
         key = ("pixel_colors_nr_fine" if "pixel_colors_nr_fine" in out
                else "pixel_colors_nr")
         return out[key][0]
