@@ -288,12 +288,18 @@ def select_mono(cfg, mvsnet: bool = False):
     uncert = bool(get("mono_uncertainty", False))
     max_depth = float(get("max_depth", 10.0))
     wrap = bool(get("use_wrap_padding", True))
-    layers = int(get("mono_num_layers", get("num_layers", 18)))
+    # knob family per reference select_mononet.py:17-25: the D-Net inside
+    # the MVS pipeline (mvsnet=True) reads the mono_* knobs; the
+    # standalone mono trainer reads the plain ones.
+    if mvsnet:
+        layers = int(get("mono_num_layers", 18))
+        fusion = str(get("mono_fusion", "cee"))
+    else:
+        layers = int(get("num_layers", get("mono_num_layers", 18)))
+        fusion = str(get("fusion", get("mono_fusion", "cee")))
     if name == "UniFuse":
         return UniFuse(max_depth=max_depth, uncertainty=uncert, wrap=wrap,
-                       num_layers=layers,
-                       fusion_type=str(get("mono_fusion",
-                                           get("fusion", "cee"))),
+                       num_layers=layers, fusion_type=fusion,
                        se_in_fusion=bool(get("se_in_fusion", True)))
     if name == "Equi":
         return EquiDepth(max_depth=max_depth, uncertainty=uncert, wrap=wrap,

@@ -115,7 +115,10 @@ def sample_depthguided(que_depth: Array, prj: dict, n_samples: int,
     # max over reference views (reference :168)
     pt_lik = jnp.max(lik, axis=0)                     # (qn, rn, cn)
 
-    # occlusion-aware transmittance weighting (reference :170-171)
+    # occlusion-aware transmittance weighting (reference :170-171).
+    # NOTE: like the reference (:209 argsorts pt_likelihood, NOT the
+    # opaque variant), the shortlist ranks by raw likelihood; ``opaque``
+    # only shapes the Gaussian tail moments below (:226-235).
     opaque = pt_lik.at[..., 1:].multiply(
         jnp.cumprod(1.0 - pt_lik, axis=-1)[..., :-1])
 

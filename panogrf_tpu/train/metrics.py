@@ -140,6 +140,9 @@ def depth_metrics_erp_full(pred: Array, gt: Array, min_depth: float = 0.1,
     abs_err = jnp.abs(gt - pred) * valid
     out = {
         "l1_error": jnp.sum(abs_err) / vsum,
+        # NOTE: l2/rmse intentionally sum over ALL pixels while dividing
+        # by the valid count — reproducing the reference exactly
+        # (train_depth.py:1057-1060 applies no valid mask to l2).
         "l2_error": jnp.sum((gt - pred) ** 2) / vsum,
         "wl1_error": jnp.sum(jnp.abs(gt - pred) * mw) / mwsum,
         "wl2_error": jnp.sum((gt - pred) ** 2 * mw) / mwsum,
@@ -199,6 +202,7 @@ def depth_metrics_zdepth(pred: Array, gt: Array, min_depth: float = 0.1,
     inv = lambda d: jnp.where(valid > 0, 1.0 / jnp.maximum(d, 1e-6), 0.0)
     out = {
         "l1_error": jnp.sum(jnp.abs(gc - pc) * valid) / vsum,
+        # unmasked l2 like the reference (train_depth.py:1152-1155)
         "l2_error": jnp.sum((gc - pc) ** 2) / vsum,
         "imae_error": jnp.sum(jnp.abs(inv(gc) - inv(pc)) * valid) / vsum,
         "irmse_error": jnp.sqrt(

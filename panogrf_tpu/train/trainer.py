@@ -136,13 +136,20 @@ class Trainer:
     def restore(self, tag: str = "latest"):
         import orbax.checkpoint as ocp
         path = (self._ckpt_dir / tag).absolute()
+        if not path.exists():
+            raise FileNotFoundError(f"no checkpoint at {path}")
         ckptr = ocp.StandardCheckpointer()
         try:
             restored = ckptr.restore(path, self._ckpt_tree())
             self.state = restored["state"]
             self.best_metric = float(restored["best_metric"])
-        except Exception:  # round-1 params-only checkpoints
-            params = ckptr.restore(path, self.state.params)
+        except Exception as full_err:  # round-1 params-only checkpoints
+            try:
+                params = ckptr.restore(path, self.state.params)
+            except Exception:
+                # params-only fallback also failed: surface the ORIGINAL
+                # full-state error, which names the real mismatch
+                raise full_err
             self.state = self.state.replace(params=params)
 
     # -- loop --------------------------------------------------------------

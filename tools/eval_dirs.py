@@ -43,6 +43,11 @@ def main():
 
     dir_gt, dir_pr = Path(args.dir_gt), Path(args.dir_pr)
     gts = sorted(dir_gt.glob("*.png")) + sorted(dir_gt.glob("*.jpg"))
+    # GT files are "{k}.ext" (reference layout) or "{k}-gt.ext"
+    # (tools/render.py layout, where renders live in the SAME dir) —
+    # never the renders themselves.
+    gts = [p for p in gts
+           if "-" not in p.stem or p.stem.endswith("-gt")]
     rows = []
     for gt_path in gts:
         k = gt_path.stem.split("-")[0]

@@ -114,18 +114,18 @@ def main():
     all_m = []
     num = min(args.num, len(reader)) if reader is not None else args.num
     for qi in range(num):
+        # idempotent restart: skip frames already on disk (reference
+        # render.py:250-254) — checked BEFORE the (expensive) scene build
+        if not args.no_skip and args.pose_type == "eval" and \
+                (out_dir / f"{qi}-nr_fine.png").exists():
+            print(f"[{qi}] exists, skipping")
+            continue
         if reader is not None:
             s = {k: jnp.asarray(v) for k, v in reader[qi].items()}
         else:
             scene = SphereScene.random(9000 + qi)
             s = make_three_view_sample(scene, H, W, args.m3d_dist,
                                        seed=100 + qi)
-        # idempotent restart: skip frames already on disk (reference
-        # render.py:250-254)
-        if not args.no_skip and args.pose_type == "eval" and \
-                (out_dir / f"{qi}-nr_fine.png").exists():
-            print(f"[{qi}] exists, skipping")
-            continue
         data = imgs_info.build_render_sample(s, coords)
         ref_info = data["ref_imgs_info"]
         ref_info["mvs_depth"] = resize_linear(
