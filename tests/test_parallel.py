@@ -60,3 +60,64 @@ def test_sharded_render_matches_single_device(eight_devices):
 def test_mesh_2d(eight_devices):
     mesh = make_mesh(8, data=2)
     assert mesh.shape == {"data": 2, "ray": 4}
+
+
+def test_sharded_train_step_2d_mesh_matches_single(eight_devices):
+    """One training step on a {data:2, ray:4} 2D mesh produces the same
+    loss/params as the unsharded step (grad psum over both axes)."""
+    import optax
+    from panogrf_tpu.parallel import sharded_train as st
+    from panogrf_tpu.renderer.renderer import NeuralRayGenRenderer
+
+    H, W, DH, DW = 32, 64, 16, 32
+    rng_np = np.random.default_rng(0)
+    rn = 16
+    data = {
+        "ref_imgs_info": {
+            "imgs": jnp.asarray(rng_np.uniform(size=(2, H, W, 3)),
+                                jnp.float32),
+            "mvs_depth": jnp.asarray(
+                rng_np.uniform(1, 5, size=(2, DH, DW, 1)), jnp.float32),
+            "depth_range": jnp.asarray([[0.5, 15.0]] * 2),
+            "w2c": jnp.broadcast_to(
+                jnp.concatenate([jnp.eye(3), jnp.zeros((3, 1))], 1),
+                (2, 3, 4)).at[1, 2, 3].set(0.5),
+        },
+        "que_imgs_info": {
+            "coords": jnp.stack(
+                [jnp.asarray(rng_np.integers(0, W, (1, rn)), jnp.float32),
+                 jnp.asarray(rng_np.integers(0, H, (1, rn)), jnp.float32)],
+                -1),
+            "c2w": jnp.concatenate(
+                [jnp.eye(3), jnp.asarray([[.1], [0.], [.2]])], 1),
+            "depth_range": jnp.asarray([[0.5, 15.0]]),
+            "imgs": jnp.asarray(rng_np.uniform(size=(1, H, W, 3)),
+                                jnp.float32),
+        },
+    }
+    model = NeuralRayGenRenderer(height=H, width=W, depth_hw=(DH, DW),
+                                 depth_sample_num=8, fine_depth_sample_num=8)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), data)
+    tx = optax.adam(1e-3)
+
+    def apply_fn(p, batch, rng):
+        return model.apply(p, batch, rng=rng)
+
+    # single-device reference step
+    step1 = st.make_sharded_train_step(apply_fn, tx, None)
+    p1, _, loss1 = step1(params, tx.init(params), data,
+                         jax.random.PRNGKey(1))
+
+    # 2D mesh: data=2 x ray=4
+    mesh = make_mesh(8, data=2)
+    assert dict(mesh.shape) == {"data": 2, "ray": 4}
+    batch = st.place_batch(mesh, data)
+    params_r = st.replicate_tree(mesh, params)
+    opt_r = st.replicate_tree(mesh, tx.init(params))
+    step2 = st.make_sharded_train_step(apply_fn, tx, mesh)
+    p2, _, loss2 = step2(params_r, opt_r, batch, jax.random.PRNGKey(1))
+
+    np.testing.assert_allclose(float(loss1), float(loss2), rtol=1e-4)
+    a = jax.tree.leaves(p1)[0]
+    b = jax.tree.leaves(p2)[0]
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
