@@ -108,12 +108,14 @@ class LMDBReader:
 
     def _read_meta(self) -> _Meta:
         # page size is unknown before reading a meta; metas sit at file
-        # offset 0 and psize.  Read a generous prefix and parse both.
-        head = self._pread(0, 8192 * 2)
-        m0 = _Meta(head, PAGEHDRSZ)
+        # offset 0 and psize.  Parse meta0 first, then re-read meta1 at its
+        # actual offset — a fixed prefix would silently miss meta1 on
+        # environments written with page size >= 16 KiB (64K-page hosts),
+        # returning a one-transaction-stale root.
+        m0 = _Meta(self._pread(0, 8192), PAGEHDRSZ)
         off1 = m0.psize + PAGEHDRSZ
         try:
-            m1 = _Meta(head, off1)
+            m1 = _Meta(self._pread(m0.psize, m0.psize), PAGEHDRSZ)
         except (LMDBFormatError, struct.error):
             return m0
         return m1 if m1.txnid > m0.txnid else m0

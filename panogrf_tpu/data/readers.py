@@ -158,7 +158,12 @@ def load_residential_scene(path: str | Path,
             cubes = cubes.transpose(0, 1, 3, 4, 2)
         cube_c2w = np.asarray(data["cube_c2w"], np.float32)
         cube_c2w = cube_c2w.reshape(-1, 6, 4, 4)[views]
-        out["cube_rgbs"] = _swap_faces(cubes)
+        # The archive stores cube FACE IMAGES in one order and their poses in
+        # another (faces 0<->5 and 2<->4 crossed); the reference's rectify()
+        # (``residential.py:30-40``) permutes ONLY cube_c2w so each pose
+        # lines up with its image.  Permuting both would reproduce the raw
+        # misalignment, so cube_rgbs stays in archive order.
+        out["cube_rgbs"] = cubes
         out["cube_c2w"] = _swap_faces(cube_c2w)
     return out
 

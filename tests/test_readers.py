@@ -46,6 +46,9 @@ def _scene_archive(rng, v_total=9, h=16, w=32, cubes=True):
         cw = h // 2
         data["cube_rgbs"] = rng.uniform(
             size=(v_total, 6, 3, cw, cw)).astype(np.float32)
+        # face marker in the first pixel so the rgb<->pose pairing after
+        # rectify() is checkable
+        data["cube_rgbs"][:, :, 0, 0, 0] = np.arange(6)[None]
         data["cube_c2w"] = np.broadcast_to(
             np.eye(4, dtype=np.float32), (v_total, 6, 4, 4)).copy()
         data["cube_c2w"][:, :, 1, 3] = np.arange(6)[None]
@@ -67,9 +70,13 @@ def test_residential_t7(tmp_path):
     # views [0, 4, 8], channel-last
     assert s["rgbs"].shape == (3, 16, 32, 3)
     np.testing.assert_allclose(s["c2w"][:, 0, 3], [0, 4, 8])
-    # cube face swap 0<->5, 2<->4 (reference residential.py:33-41)
+    # reference rectify() (residential.py:30-40) permutes ONLY cube_c2w
+    # (0<->5, 2<->4); cube_rgbs stays in archive order so image f pairs
+    # with the pose originally stored at the crossed slot.
     np.testing.assert_allclose(s["cube_c2w"][:, :, 1, 3],
                                np.broadcast_to([5, 1, 4, 3, 2, 0], (3, 6)))
+    np.testing.assert_allclose(s["cube_rgbs"][:, :, 0, 0, 0],
+                               np.broadcast_to(np.arange(6.0), (3, 6)))
     db = ds.database(0)
     assert db.database_name == "residential"
     assert db.get_image(2).shape == (16, 32, 3)

@@ -71,7 +71,10 @@ def main():
     # V views, refs = range(reference_idx), query drawn from test_views.
     mv = args.mv or (cfg.data.seq_len if cfg.data.test_views else 0)
     if mv:
-        ref_ids = list(range(mv - 1))
+        # refs = range(reference_idx) per the config protocol; the bare
+        # --mv flag (no test_views) keeps the V-1 fallback.
+        n_ref = cfg.data.reference_idx if cfg.data.test_views else mv - 1
+        ref_ids = list(range(n_ref))
         que_ids = list(cfg.data.test_views) or [mv - 1]
     else:
         ref_ids, que_ids = list(imgs_info.REF_IDS), [imgs_info.QUE_ID]
