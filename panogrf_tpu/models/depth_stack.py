@@ -91,6 +91,98 @@ class DepthStack:
             ret["mvs_uncert"] = out["pred_final"][..., 1:]
         return ret
 
+    def jitted(self) -> Callable:
+        """One compiled entry reused across scenes (params close over the
+        trace as constants; same shapes -> no retrace)."""
+        fn = getattr(self, "_jit_fn", None)
+        if fn is None:
+            fn = jax.jit(lambda r, s, rw, sw: self(r, s, rw, sw))
+            object.__setattr__(self, "_jit_fn", fn)
+        return fn
+
+
+def _load_ckpt_tree(path: str, template: Any, convert_fn) -> Any:
+    """Load either an orbax checkpoint dir (in-repo training output,
+    ``train/depth_trainer.py::save``) or a torch ``.pt/.pth`` file run
+    through the reference-layout converter (``utils/torch_convert.py``)."""
+    import pathlib
+    p = pathlib.Path(path)
+    if p.suffix in (".pt", ".pth", ".tar", ".ckpt"):
+        import numpy as np
+        import torch
+        raw = torch.load(p, map_location="cpu", weights_only=False)
+        for k in ("model_state_dict", "state_dict", "model"):
+            if isinstance(raw, dict) and k in raw:
+                raw = raw[k]
+                break
+        sd = {k: np.asarray(v) for k, v in raw.items()
+              if hasattr(v, "shape")}
+        return convert_fn(sd)
+    import orbax.checkpoint as ocp
+    ckptr = ocp.StandardCheckpointer()
+    try:
+        return ckptr.restore(p.absolute(), template)
+    except BaseException:
+        return ckptr.restore(p.absolute())
+
+
+def load_depth_stack(mono_ckpt: str | None, mvs_ckpt: str | None = None,
+                     mono_hw: tuple = (512, 1024),
+                     depth_hw: tuple = (256, 512),
+                     wo_stereo: bool = False, max_depth: float = 10.0,
+                     mvs_kwargs: dict | None = None,
+                     seed: int = 0) -> DepthStack:
+    """Build a DepthStack from trained (orbax dir) or converted-torch
+    checkpoints — the loading half of reference ``render.py:148-160``
+    (which restores ``mono_ckpt``/``mvs_ckpt`` into the renderer's frozen
+    init stack).  ``wo_stereo=True`` (or ``mvs_ckpt=None``) skips the MVS
+    net entirely.
+    """
+    from panogrf_tpu.utils import torch_convert as tc
+    stack = init_depth_stack(jax.random.PRNGKey(seed), mono_hw=mono_hw,
+                             depth_hw=depth_hw,
+                             wo_stereo=wo_stereo or mvs_ckpt is None,
+                             mvs_kwargs={"max_depth": max_depth,
+                                         **(mvs_kwargs or {})})
+    if mono_ckpt:
+        stack.mono_params = _load_ckpt_tree(mono_ckpt, stack.mono_params,
+                                            tc.convert_unifuse)
+    if mvs_ckpt and stack.mvs_model is not None:
+        stack.mvs_params = _load_ckpt_tree(mvs_ckpt, stack.mvs_params,
+                                           tc.convert_mvs)
+    return stack
+
+
+def stack_depth_for_sample(stack_fn: Callable, sample: dict,
+                           ref_ids, src_ids=None) -> dict:
+    """Run the composed mono(+MVS) stack on a raw scene sample.
+
+    This is the system-level composition the reference drives per scene
+    (``network/init_net.py:233-336`` construct_cost_volume_with_src): each
+    reference view is paired with a source view and the frozen stack
+    predicts its depth — NO ground-truth depth is consumed.
+
+    :param stack_fn: a (jitted) DepthStack call.
+    :param sample: dict with ``rgb_panos`` (V, H, W, 3), ``rots``
+        (V, 3, 3), ``trans`` (V, 3).
+    :param ref_ids: reference view indices.
+    :param src_ids: paired source view per reference; default pairs each
+        ref with the next one cyclically — for the eval protocol
+        refs (0, 2) this reproduces the reference's srcs (2, 0)
+        (``data/imgs_info.py`` REF_IDS/SRC_IDS).
+    :return: stack outputs (``mvs_depth`` (rfn, dh, dw, 1), ...).
+    """
+    ref_ids = list(ref_ids)
+    if src_ids is None:
+        src_ids = [ref_ids[(i + 1) % len(ref_ids)]
+                   for i in range(len(ref_ids))]
+    src_ids = list(src_ids)
+    from panogrf_tpu.data import imgs_info
+    w2c = imgs_info.pose_w2c(sample["rots"], sample["trans"])
+    imgs = jnp.asarray(sample["rgb_panos"])
+    return stack_fn(imgs[jnp.asarray(ref_ids)], imgs[jnp.asarray(src_ids)],
+                    w2c[jnp.asarray(ref_ids)], w2c[jnp.asarray(src_ids)])
+
 
 def init_depth_stack(rng: jax.Array, height: int = 512, width: int = 1024,
                      mono_hw: tuple = (512, 1024),

@@ -96,8 +96,9 @@ class UniFuse(nn.Module):
 
     Inputs: ``equi`` (B, H, W, 3) and ``cube`` (B, 6, H/2, H/2, 3), both
     already ImageNet-normalized.  Returns a dict with ``pred_depth``
-    (B, H, W, 1), ``mono_feat`` (B, H/4, W/4, 64) and, with
-    ``uncertainty=True``, ``pred`` (B, H, W, 2) = (mu, sigma).
+    (B, H, W, 1), ``mono_feat`` (B, H/2, W/2, 32 — the deconv_1 tap the
+    MVS pipeline consumes) and, with ``uncertainty=True``, ``pred``
+    (B, H, W, 2) = (mu, sigma).
     """
     max_depth: float = 10.0
     min_depth: float = 0.1

@@ -182,13 +182,27 @@ class Trainer:
 def load_checkpoint_params(path):
     """Load renderer params from any of our checkpoint layouts.
 
-    Accepts both the round-1 params-only checkpoints and the full trainer
+    Accepts the round-1 params-only checkpoints, the full trainer
     state ({"state": {params, opt_state, step}, "best_metric"}) written by
-    :meth:`Trainer.save` — render/ft CLIs only need the params subtree.
+    :meth:`Trainer.save` — render/ft CLIs only need the params subtree —
+    and a reference torch ``model.pth`` ({step, best_para,
+    network_state_dict, optimizer_state_dict}, reference
+    ``train/trainer.py:452-459``), converted through
+    ``utils/torch_convert.convert_renderer``.
     """
     import orbax.checkpoint as ocp
     from pathlib import Path
     path = Path(path).absolute()
+    if path.suffix in (".pt", ".pth", ".tar", ".ckpt"):
+        import numpy as np
+        import torch
+        from panogrf_tpu.utils import torch_convert as tc
+        raw = torch.load(path, map_location="cpu", weights_only=False)
+        if isinstance(raw, dict) and "network_state_dict" in raw:
+            raw = raw["network_state_dict"]
+        sd = {k: np.asarray(v) for k, v in raw.items()
+              if hasattr(v, "shape")}
+        return tc.convert_renderer(sd)
     try:
         raw = ocp.StandardCheckpointer().restore(path)
     except Exception:

@@ -54,12 +54,28 @@ def main():
     ap.add_argument("--lpips-weights", default=None)
     ap.add_argument("--no-skip", action="store_true",
                     help="re-render frames even if the file exists")
-    ap.add_argument("--fast-gather", action="store_true",
-                    help="single-gather fast path (see renderer docstring)")
-    ap.add_argument("--bf16", action="store_true",
-                    help="bfloat16 compute path (serving default on TPU)")
+    # Serving configuration: fast_gather + bf16 are the documented serving
+    # defaults (same operating point bench.py measures); --exact restores
+    # reference-exact numerics (float32, per-map gathers).
+    ap.add_argument("--exact", action="store_true",
+                    help="exact numerics: float32 + per-map gathers "
+                         "(serving default is fast-gather + bf16)")
+    ap.add_argument("--mono-ckpt", default=None,
+                    help="UniFuse checkpoint (orbax dir or torch .pth) — "
+                         "enables the composed mono->MVS->renderer "
+                         "pipeline: NO ground-truth depth is consumed")
+    ap.add_argument("--mvs-ckpt", default=None,
+                    help="MVS checkpoint (orbax dir or torch .pth)")
+    ap.add_argument("--wo-stereo", action="store_true",
+                    help="mono-only init path (reference wo_stereo): skip "
+                         "the MVS net, resize mono depth")
+    ap.add_argument("--depth-stack", action="store_true",
+                    help="run the depth stack even without checkpoints "
+                         "(random weights; smoke/debug only)")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
+    args.fast_gather = not args.exact
+    args.bf16 = not args.exact
 
     if args.cpu:
         import jax
@@ -111,6 +127,25 @@ def main():
         from panogrf_tpu.data.shards import ShardReader
         reader = ShardReader(args.shards)
 
+    # Composed pipeline (reference render.py:148-160 + init_net.py:233-336):
+    # the frozen mono(+MVS) stack predicts every reference view's depth —
+    # GT depth is NOT consumed anywhere on this path.
+    stack_fn = None
+    use_stack = bool(args.mono_ckpt or args.mvs_ckpt or args.wo_stereo
+                     or args.depth_stack)
+    if use_stack:
+        from panogrf_tpu.models.depth_stack import (load_depth_stack,
+                                                    stack_depth_for_sample)
+        stack = load_depth_stack(
+            args.mono_ckpt, args.mvs_ckpt,
+            # UniFuse's cube fusion needs W >= 128 (1/32-scale ERP)
+            mono_hw=(max(H, 64), max(W, 128)),
+            # MVS UNet needs >= 32 rows; output is resized to (DH, DW)
+            depth_hw=(max(DH, 32), max(DW, 64)), wo_stereo=args.wo_stereo)
+        stack_fn = stack.jitted()
+        print(f"depth stack: mono={args.mono_ckpt or 'random'} "
+              f"mvs={args.mvs_ckpt or ('-' if stack.mvs_model is None else 'random')}")
+
     all_m = []
     num = min(args.num, len(reader)) if reader is not None else args.num
     for qi in range(num):
@@ -128,9 +163,19 @@ def main():
                                        seed=100 + qi)
         data = imgs_info.build_render_sample(s, coords)
         ref_info = data["ref_imgs_info"]
-        ref_info["mvs_depth"] = resize_linear(
-            s["depth_panos"][jnp.asarray(imgs_info.REF_IDS)], (DH, DW),
-            axes=(1, 2))
+        if stack_fn is not None:
+            pred = stack_depth_for_sample(stack_fn, s,
+                                          imgs_info.REF_IDS,
+                                          imgs_info.SRC_IDS)
+            ref_info["mvs_depth"] = resize_linear(
+                pred["mvs_depth"], (DH, DW), axes=(1, 2))
+            if "mvs_uncert" in pred:
+                ref_info["mvs_uncert"] = resize_linear(
+                    pred["mvs_uncert"], (DH, DW), axes=(1, 2))
+        else:
+            ref_info["mvs_depth"] = resize_linear(
+                s["depth_panos"][jnp.asarray(imgs_info.REF_IDS)], (DH, DW),
+                axes=(1, 2))
 
         if args.pose_type == "inter":
             w2c_all = np.asarray(imgs_info.pose_w2c(s["rots"], s["trans"]))

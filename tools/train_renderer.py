@@ -4,10 +4,12 @@ Usage:
   python tools/train_renderer.py --cfg configs/gen_synthetic_small.yaml \
       [--shards data/shards_train] [--steps 1000]
 
-The frozen mono+MVS depth stack runs outside the optimized step; with
-``--gt-depth`` (or no depth checkpoints configured) the GT depth from the
-data stream stands in for MVS depth, which is the right setup for the
-synthetic data path and for debugging (reference `debug` flag semantics).
+The frozen mono+MVS depth stack runs outside the optimized step.  With
+``--depth-source stack`` (implied by ``--mono-ckpt``/``--mvs-ckpt``/
+``--wo-stereo``) every reference view's depth comes from the composed
+mono->MVS predictions — the reference's real training setup
+(``init_net.py:233-336``), no GT depth consumed.  The default for the
+synthetic/debug path substitutes GT depth (reference `debug` semantics).
 """
 
 import argparse
@@ -25,7 +27,15 @@ def main():
     ap.add_argument("--cfg", default=None)
     ap.add_argument("--shards", default=None)
     ap.add_argument("--steps", type=int, default=None)
-    ap.add_argument("--gt-depth", action="store_true", default=True)
+    ap.add_argument("--depth-source", default=None,
+                    choices=["gt", "stack"],
+                    help="where ref mvs_depth comes from: 'gt' (debug / "
+                         "synthetic default) or 'stack' (frozen mono+MVS "
+                         "predictions — the reference's real training "
+                         "setup; implied by --mono-ckpt/--mvs-ckpt)")
+    ap.add_argument("--mono-ckpt", default=None)
+    ap.add_argument("--mvs-ckpt", default=None)
+    ap.add_argument("--wo-stereo", action="store_true")
     ap.add_argument("--pool", type=int, default=16,
                     help="procedural scene pool size (no-shards mode)")
     ap.add_argument("--cpu", action="store_true")
@@ -67,6 +77,23 @@ def main():
     rng = np.random.default_rng(cfg.train.seed)
     reader = ShardReader(args.shards) if args.shards else None
 
+    depth_source = args.depth_source or (
+        "stack" if (args.mono_ckpt or args.mvs_ckpt or args.wo_stereo)
+        else "gt")
+    stack_fn = None
+    if depth_source == "stack":
+        from panogrf_tpu.models.depth_stack import (load_depth_stack,
+                                                    stack_depth_for_sample)
+        _stack = load_depth_stack(
+            args.mono_ckpt, args.mvs_ckpt,
+            # UniFuse's cube fusion needs W >= 128 (1/32-scale ERP)
+            mono_hw=(max(H, 64), max(W, 128)),
+            # MVS UNet needs >= 32 rows; output is resized to (DH, DW)
+            depth_hw=(max(DH, 32), max(DW, 64)), wo_stereo=args.wo_stereo)
+        stack_fn = _stack.jitted()
+        print(f"depth source: frozen stack (mono="
+              f"{args.mono_ckpt or 'random'}, mvs={args.mvs_ckpt or '-'})")
+
     # MV protocol (reference run_training_mv.py + get_database_split_mv):
     # V views, refs = range(reference_idx), query drawn from test_views.
     mv = args.mv or (cfg.data.seq_len if cfg.data.test_views else 0)
@@ -95,14 +122,37 @@ def main():
                                            seed=i)
             pool.append(jax.tree.map(jnp.asarray, s))
 
+    # per-scene depth cache: the frozen stack's prediction is pose/image
+    # deterministic, so each scene is run through mono+MVS once (the
+    # reference caches the same way via its LMDB pre-render).
+    _depth_cache: dict = {}
+
+    def view_depth(s, key, ids, srcs):
+        if key not in _depth_cache:
+            if stack_fn is not None:
+                pred = stack_depth_for_sample(stack_fn, s, ids, srcs)
+                _depth_cache[key] = resize_linear(
+                    pred["mvs_depth"], (DH, DW), axes=(1, 2))
+            else:
+                d = s["depth_panos"][jnp.asarray(ids)]
+                _depth_cache[key] = resize_linear(d, (DH, DW), axes=(1, 2))
+        return _depth_cache[key]
+
+    def ref_depth(s, key):
+        return view_depth(s, key, ref_ids,
+                          list(imgs_info.SRC_IDS) if not mv else None)
+
     def batches():
         i = 0
         while True:
             if reader is not None:
-                s = {k: jnp.asarray(v) for k, v in
-                     reader[int(rng.integers(len(reader)))].items()}
+                si = int(rng.integers(len(reader)))
+                s = {k: jnp.asarray(v) for k, v in reader[si].items()}
+                key = ("shard", si)
             else:
-                s = pool[int(rng.integers(len(pool)))]
+                si = int(rng.integers(len(pool)))
+                s = pool[si]
+                key = ("pool", si)
             coords = imgs_info.sample_train_coords(rng, H, W, 512)
             if mv:
                 que = que_ids[int(rng.integers(len(que_ids)))]
@@ -111,9 +161,14 @@ def main():
             else:
                 data = imgs_info.build_render_sample(
                     s, coords, (R.min_depth, R.max_depth))
-            d = s["depth_panos"][jnp.asarray(ref_ids)]
-            data["ref_imgs_info"]["mvs_depth"] = resize_linear(
-                d, (DH, DW), axes=(1, 2))
+            data["ref_imgs_info"]["mvs_depth"] = ref_depth(s, key)
+            if R.use_self_hit_prob:
+                # consistency loss needs the QUERY view's predicted depth
+                # (reference computes it in the dataset,
+                # ``habitat_data_neuray.py:585-609``)
+                q = que_ids[0] if not mv else que
+                data["que_imgs_info"]["mvs_depth"] = view_depth(
+                    s, key + ("que", q), [q], [ref_ids[0]])
             data.pop("src_imgs_info", None)
             i += 1
             yield data
@@ -133,6 +188,9 @@ def main():
                 "decay_rate": cfg.train.decay_rate},
         losses=tuple(l for l in cfg.train.loss
                      if l in ("render", "depth", "consistency")),
+        loss_kwargs={"render": {
+            "use_ray_mask": R.use_ray_mask,
+            "use_polar_weighted_loss": R.use_polar_weighted_loss}},
         seed=cfg.train.seed, save_dir=cfg.train.save_dir)
 
     def apply_fn(p, batch, rng_):
@@ -161,12 +219,11 @@ def main():
         import jax.numpy as jnp
         outs = {}
         vals = []
-        for s in val_scenes:
+        for vi, s in enumerate(val_scenes):
             ref_info = imgs_info.build_imgs_info(
                 s, ref_ids, (R.min_depth, R.max_depth))
-            ref_info["mvs_depth"] = resize_linear(
-                s["depth_panos"][jnp.asarray(ref_ids)],
-                (DH, DW), axes=(1, 2))
+            ref_info["mvs_depth"] = ref_depth(
+                jax.tree.map(jnp.asarray, s), ("val", vi))
             que_w2c = imgs_info.pose_w2c(s["rots"], s["trans"])[que_ids[0]]
             c2w = imgs_info.c2w_from_w2c(que_w2c[None])[0]
             out = full_render.render_image(
