@@ -107,8 +107,20 @@ def iter_lmdb_samples(env_path: str | Path, height: int, width: int,
     """Decode consecutive samples 0..N-1 from a reference LMDB env.
 
     Yields the shard-schema dict: rgb_panos (V, H, W, 3), depth_panos
-    (V, H, W, 1), rots (V, 3, 3), trans (V, 3).
+    (V, H, W, 1), rots (V, 3, 3), trans (V, 3) and — when the env was
+    written with cube fields (``lmdb_write_render.py:225-231``) —
+    rgb_cubes (V, 6, cw, cw, 3), depth_cubes (V, 6, cw, cw, 1),
+    rots_cubes (V, 6, 3, 3), trans_cubes (V, 6, 3) with cw = H/2
+    (reader reshapes per ``habitat_data_neuray_ft_lmdb.py:123-126``;
+    depth gets an explicit channel axis like depth_panos).
     """
+    cw = height // 2
+    cube_shapes = {
+        "rgb_cubes": (seq_len, 6, cw, cw, 3),
+        "depth_cubes": (seq_len, 6, cw, cw, 1),
+        "rots_cubes": (seq_len, 6, 3, 3),
+        "trans_cubes": (seq_len, 6, 3),
+    }
     with LMDBReader(env_path) as db:
         idx = 0
         while True:
@@ -126,8 +138,14 @@ def iter_lmdb_samples(env_path: str | Path, height: int, width: int,
             trans = np.frombuffer(
                 db.get(f"{idx},trans".encode("ascii")),
                 np.float32).reshape(seq_len, 3)
-            yield {"rgb_panos": rgb, "depth_panos": depth,
-                   "rots": rots, "trans": trans}
+            sample = {"rgb_panos": rgb, "depth_panos": depth,
+                      "rots": rots, "trans": trans}
+            for key, shape in cube_shapes.items():
+                cbuf = db.get(f"{idx},{key}".encode("ascii"))
+                if cbuf is not None:
+                    sample[key] = np.frombuffer(
+                        cbuf, np.float32).reshape(shape)
+            yield sample
             idx += 1
 
 

@@ -34,13 +34,18 @@ class ShardWriter:
         self._shard_idx = 0
         self._count = 0
 
+    # image-like fields stored float16, geometry float32; the ``*_cubes``
+    # fields mirror the reference LMDB writer's optional cube keys
+    # (``lmdb_write_render.py:225-231``)
+    F16_KEYS = ("rgb_panos", "depth_panos", "rgb_cubes", "depth_cubes")
+    F32_KEYS = ("rots", "trans", "rots_cubes", "trans_cubes")
+
     def add(self, sample: dict) -> None:
-        self._buf.append({
-            "rgb_panos": np.asarray(sample["rgb_panos"], np.float16),
-            "depth_panos": np.asarray(sample["depth_panos"], np.float16),
-            "rots": np.asarray(sample["rots"], np.float32),
-            "trans": np.asarray(sample["trans"], np.float32),
-        })
+        rec = {k: np.asarray(sample[k], np.float16)
+               for k in self.F16_KEYS if k in sample}
+        rec.update({k: np.asarray(sample[k], np.float32)
+                    for k in self.F32_KEYS if k in sample})
+        self._buf.append(rec)
         self._count += 1
         if len(self._buf) >= self.samples_per_shard:
             self._flush()
@@ -95,8 +100,8 @@ class ShardReader:
     def __getitem__(self, idx: int) -> dict:
         si, off = divmod(idx, self.sps)
         shard = self._load_shard(si)
-        return {k: np.asarray(shard[k][off], np.float32) for k in
-                ("rgb_panos", "depth_panos", "rots", "trans")}
+        return {k: np.asarray(shard[k][off], np.float32)
+                for k in shard.files}
 
     def host_indices(self) -> np.ndarray:
         """Round-robin split of sample indices across hosts."""

@@ -30,6 +30,11 @@ def main():
     ap.add_argument("--depth-width", type=int, default=256)
     ap.add_argument("--m3d-dist", type=float, default=0.5)
     ap.add_argument("--out", default="data/render_cubes_out")
+    ap.add_argument("--shards", default=None,
+                    help="render scenes from this shard dir; when the "
+                         "shards carry *_cubes fields (imported reference "
+                         "LMDB data) the stored cube faces/poses are the "
+                         "GT and cameras (reference database.py:86-111)")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
@@ -87,10 +92,20 @@ def main():
                else "pixel_colors_nr")
         return jnp.clip(out[key][0].reshape(fw, fw, 3), 0, 1)
 
+    reader = None
+    if args.shards:
+        from panogrf_tpu.data.shards import ShardReader
+        reader = ShardReader(args.shards)
+
     metrics_all = []
-    for qi in range(args.num):
-        scene = SphereScene.random(8800 + qi)
-        s = make_three_view_sample(scene, H, W, args.m3d_dist, seed=50 + qi)
+    num = min(args.num, len(reader)) if reader is not None else args.num
+    for qi in range(num):
+        if reader is not None:
+            s = reader[qi]
+        else:
+            scene = SphereScene.random(8800 + qi)
+            s = make_three_view_sample(scene, H, W, args.m3d_dist,
+                                       seed=50 + qi)
         db = PanoDatabase("m3d", np.asarray(s["rgb_panos"]),
                           np.asarray(s["depth_panos"]),
                           np.asarray(s["rots"]), np.asarray(s["trans"]))
@@ -104,9 +119,26 @@ def main():
                                method=NeuralRayGenRenderer.prepare_ref)
         ref_data["w2c"] = ref_info["w2c"]
 
-        w2c_faces, K = db.cube_cameras(imgs_info.QUE_ID)
-        gt_cube = cubemap.equi_to_cube(
-            jnp.asarray(s["rgb_panos"][imgs_info.QUE_ID]), fw)
+        if "rgb_cubes" in s:
+            # real imported data: stored faces are GT, stored per-face
+            # poses are the cameras (reference database.py:86-111 — w2c is
+            # the raw [rots_cubes | trans_cubes] stack; K from face width)
+            from panogrf_tpu.data.database import cube_intrinsics
+            q = imgs_info.QUE_ID
+            gt_cube = jnp.asarray(s["rgb_cubes"][q])
+            cw = gt_cube.shape[1]
+            if cw != fw:
+                raise SystemExit(
+                    f"--height {H} implies face width {fw} but shards "
+                    f"store {cw}; pass --height {cw * 2}")
+            w2c_faces = np.concatenate(
+                [s["rots_cubes"][q], s["trans_cubes"][q][..., None]],
+                axis=-1).astype(np.float32)
+            K = cube_intrinsics(cw)
+        else:
+            w2c_faces, K = db.cube_cameras(imgs_info.QUE_ID)
+            gt_cube = cubemap.equi_to_cube(
+                jnp.asarray(s["rgb_panos"][imgs_info.QUE_ID]), fw)
         for f in range(6):
             pred = render_face(params, ref_data,
                                jnp.asarray(w2c_faces[f]), jnp.asarray(K))
