@@ -135,6 +135,8 @@ _KEY_ALIASES = {
     "DNET_ckpt": ("mono", "dnet_ckpt"),
     "mvsnet_pretrained_path": ("mvs", "mvsnet_ckpt"),
     "dataset_name": ("data", "dataset_name"),
+    "learning_rate": ("train", "lr_init"),   # depth recipes' knob name
+    "total_iter": ("train", "total_step"),
 }
 
 

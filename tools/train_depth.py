@@ -22,10 +22,18 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 def main():
     ap = argparse.ArgumentParser()
+    ap.add_argument("--cfg", default=None,
+                    help="depth recipe yaml (e.g. configs/depth/"
+                         "m3d_mvs_v4.yaml); CLI flags override")
     ap.add_argument("--steps", type=int, default=200)
     ap.add_argument("--height", type=int, default=128)
     ap.add_argument("--width", type=int, default=256)
     ap.add_argument("--batch", type=int, default=2)
+    ap.add_argument("--views", type=int, default=2, metavar="V",
+                    help="V-view MVS training (reference train_depth_mv.py"
+                         " / pipeline3_model.py:951-1300): the reference "
+                         "view's cost volume is averaged over the V-1 "
+                         "sources (models/mvs.py multi-view sweep)")
     ap.add_argument("--shards", default=None)
     ap.add_argument("--mono-ckpt", default=None)
     ap.add_argument("--m3d-dist", type=float, default=1.0)
@@ -45,6 +53,24 @@ def main():
         jax.config.update("jax_platforms", "cpu")
     import jax
     import jax.numpy as jnp
+
+    if args.cfg:
+        # recipe yaml supplies the defaults; explicitly given CLI flags win
+        from panogrf_tpu.config import load_config
+        cfg = load_config(args.cfg)
+        given = {a.split("=")[0].lstrip("-").replace("-", "_")
+                 for a in sys.argv[1:] if a.startswith("--")}
+        for flag, val in [
+                ("height", cfg.data.height), ("width", cfg.data.width),
+                ("views", cfg.data.seq_len),
+                ("batch", cfg.train.batch_size), ("lr", cfg.train.lr_init),
+                ("m3d_dist", cfg.data.m3d_dist),
+                ("min_depth", cfg.mono.min_depth),
+                ("max_depth", cfg.mono.max_depth),
+                ("hypotheses", cfg.mvs.cost_volume_channels),
+                ("name", cfg.train.name)]:
+            if flag not in given:
+                setattr(args, flag, val)
 
     from panogrf_tpu.core import cubemap
     from panogrf_tpu.data.shards import ShardReader
@@ -71,6 +97,15 @@ def main():
 
     reader = ShardReader(args.shards) if args.shards else None
 
+    # view ordering for the model (index 1 = reference whose depth is
+    # predicted, every other index a source — ``models/mvs.py`` sweep):
+    # 2-view keeps the classic (src=0, ref=1); V>2 follows the reference
+    # mv protocol (m3d_mvs_v4.yaml: reference_idx = seq_len-1, sources =
+    # the preceding views; ``train_depth_mv.py`` /
+    # ``pipeline3_model.py:951-1300`` cost averaged over all sources).
+    V = max(2, args.views)
+    view_order = [0, 1] if V == 2 else [0, V - 1] + list(range(1, V - 1))
+
     def make_batch():
         panos, rots, trans, gts = [], [], [], []
         for _ in range(args.batch):
@@ -78,14 +113,26 @@ def main():
                 s = reader[int(rng.integers(len(reader)))]
             else:
                 scene = SphereScene.random(int(rng.integers(1 << 30)))
-                s = {k: np.asarray(v) for k, v in make_three_view_sample(
-                    scene, H, W, args.m3d_dist,
-                    seed=int(rng.integers(1 << 30))).items()}
-            # two-view (src=view0, ref=view1) protocol
-            panos.append(np.stack([s["rgb_panos"][0], s["rgb_panos"][1]]))
-            rots.append(np.stack([s["rots"][0], s["rots"][1]]))
-            trans.append(np.stack([s["trans"][0], s["trans"][1]]))
-            gts.append(np.clip(s["depth_panos"][1], 0, args.max_depth))
+                if V <= 3:
+                    mk = make_three_view_sample(
+                        scene, H, W, args.m3d_dist,
+                        seed=int(rng.integers(1 << 30)))
+                else:
+                    from panogrf_tpu.data.synthetic import \
+                        make_multi_view_sample
+                    mk = make_multi_view_sample(
+                        scene, H, W, V, args.m3d_dist,
+                        seed=int(rng.integers(1 << 30)))
+                s = {k: np.asarray(v) for k, v in mk.items()}
+            if s["rgb_panos"].shape[0] < V:
+                raise SystemExit(
+                    f"--views {V} but data has {s['rgb_panos'].shape[0]} "
+                    "views per sample")
+            panos.append(s["rgb_panos"][view_order])
+            rots.append(s["rots"][view_order])
+            trans.append(s["trans"][view_order])
+            gts.append(np.clip(s["depth_panos"][view_order[1]], 0,
+                               args.max_depth))
         batch = {
             "panos": jnp.asarray(np.stack(panos), jnp.float32),
             "rots": jnp.asarray(np.stack(rots), jnp.float32),
