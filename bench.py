@@ -32,6 +32,14 @@ def main():
                     help="depth-guided (DINER) sampling operating point: "
                          "64 guided samples, no fine pass — the "
                          "reference's own low-sample mode")
+    ap.add_argument("--no-light-coarse", dest="light_coarse",
+                    action="store_false", default=True,
+                    help="disable the light coarse pass (proxy importance "
+                         "from the decoded NeuRay stats map; quality A/B "
+                         "in tools/ab_quality.py)")
+    ap.add_argument("--proxy-samples", type=int, default=0,
+                    help="coarse sample count for the proxy pass "
+                         "(0 = depth_sample_num)")
     ap.add_argument("--with-depth-stack", action="store_true",
                     help="also time the per-scene cost: frozen mono+MVS "
                          "depth inference + reference-view encoding "
@@ -51,6 +59,8 @@ def main():
     model = NeuralRayGenRenderer(
         height=H, width=W, depth_hw=(DH, DW),
         fast_gather=args.fast_gather,
+        light_coarse=args.light_coarse and not args.diner,
+        coarse_proxy_samples=args.proxy_samples,
         compute_dtype="bfloat16" if not on_cpu else "float32")
     rng = np.random.default_rng(0)
     ref_info = {

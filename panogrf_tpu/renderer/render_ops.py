@@ -278,6 +278,35 @@ def project_points_dict(ref_data: dict, que_pts: Array,
     return out
 
 
+def project_stats(ref_data: dict, que_pts: Array,
+                  convention: SphereConvention) -> dict:
+    """Light projection for the coarse proxy pass: geometry plus ONE small
+    gather of the precomputed dist-decoder statistics map.
+
+    ``ref_data['stats_coarse']`` is the coarse decoder's (mean2, var2, aw
+    [, vis]) evaluated once per scene on the ray-feature MAP
+    (``renderer.prepare_ref``), so the per-sample work collapses to a
+    5/6-channel gather + the logistic CDF — no MLPs, no image/feature
+    fetch.  Shapes mirror :func:`project_points_dict` (point-major).
+    """
+    from panogrf_tpu.ops.resample import interpolate_feats_pointmajor
+    qn, rn, dn, _ = que_pts.shape
+    rfn, h, w, _ = ref_data["imgs"].shape
+    pts = que_pts.reshape(-1, 3)
+    w2c = ref_data["w2c"]
+    cam = (jnp.einsum("vij,pj->pvi", w2c[:, :, :3], pts)
+           + w2c[None, :, :, 3])
+    prj_xy, prj_depth = convention.project_to_pixels(cam, h, w)
+    xy_vm = jnp.swapaxes(prj_xy, 0, 1)
+    stats = interpolate_feats_pointmajor(ref_data["stats_coarse"], xy_vm,
+                                         h, w)
+
+    def rs(t):
+        return t.reshape(qn, rn, dn, rfn, -1)
+
+    return {"depth": rs(prj_depth[..., None]), "stats": rs(stats)}
+
+
 # ---------------------------------------------------------------------------
 # compositing
 # ---------------------------------------------------------------------------

@@ -74,6 +74,20 @@ class NeuralRayGenRenderer(nn.Module):
     # trade is re-interpolating an upsampled map (measured < 0.03 dB on
     # synthetic eval).  Off by default for exact reference numerics.
     fast_gather: bool = False
+    # light_coarse: serving-only coarse pass replacement — the coarse
+    # IBRNet aggregation exists solely to produce the hit-probability
+    # importance distribution for fine resampling, so instead use the
+    # NeuRay per-view surface statistics directly: decode the coarse
+    # dist-decoder heads ONCE per scene on the ray-feature map
+    # (prepare_ref), and per sample do a 5-channel gather + logistic CDF
+    # + view-mean.  Skips the whole coarse gather/aggregation.  The fine
+    # pass is numerically unchanged; only WHERE the 64 fine samples land
+    # differs.  Not for training (coarse losses need the full pass).
+    light_coarse: bool = False
+    # coarse sample count for the proxy pass (0 -> depth_sample_num);
+    # the proxy only shapes an importance distribution, so fewer/cheaper
+    # samples are viable (quality A/B in bench --ab).
+    coarse_proxy_samples: int = 0
 
     # 'ERP' (ResUNetLight) or 'ERP+TP' (dual ERP + tangent-patch encoder,
     # reference local_feature_type / init_net_feature_type knobs,
@@ -150,6 +164,13 @@ class NeuralRayGenRenderer(nn.Module):
                                     axes=(1, 2))
             out["merged_full"] = jnp.concatenate(
                 [out["imgs"], mf_full.astype(dt)], axis=-1)
+        if self.light_coarse:
+            # decode the coarse mixture heads ONCE on the ray-feature map
+            # (float32: the CDF math downstream is float32 anyway)
+            mean, var, vis, aw = self.dist_decoder(
+                ray_feats.astype(jnp.float32))
+            parts = [mean, var, aw] + ([vis] if vis is not None else [])
+            out["stats_coarse"] = jnp.concatenate(parts, axis=-1)
         return out
 
     # ------------------------------------------------------------------
@@ -215,6 +236,36 @@ class NeuralRayGenRenderer(nn.Module):
                 (que_depth - d) ** 2 * comp["hit_prob"], axis=-1) + 1e-5
         return outputs
 
+    def coarse_hit_proxy(self, ref_data: dict, que_depth: Array,
+                         coords: Array, que_c2w: Array,
+                         que_depth_range: Array, ref_depth_range: Array,
+                         perspec_cam: Optional[tuple] = None) -> Array:
+        """Importance distribution from the per-view NeuRay surface
+        statistics alone (see ``light_coarse``): gather the precomputed
+        (mean, var, aw) map, run the logistic-mixture CDF per sample, and
+        average the per-view hit probability.
+
+        :return: (qn, rn, dn) proxy hit probability.
+        """
+        conv = self.convention
+        que_dists = ro.depth2inv_dists(que_depth, que_depth_range)
+        if perspec_cam is not None:
+            que_pts, _ = ro.depth2points_perspective(
+                coords, que_depth, perspec_cam[0], perspec_cam[1])
+        else:
+            directions = conv.ray_directions(self.height, self.width)
+            que_pts, _ = ro.depth2points_spherical(coords, que_depth,
+                                                   que_c2w, directions)
+        prj = ro.project_stats(ref_data, que_pts, conv)
+        st = prj["stats"].astype(jnp.float32)
+        mean, var, aw = st[..., 0:2], st[..., 2:4], st[..., 4:5]
+        vis = st[..., 5:6] if (self.use_vis and st.shape[-1] > 5) else None
+        near, far = get_near_far_intervals_ref(
+            prj["depth"][..., 0], que_dists, ref_depth_range)
+        _, _, hit_prob = compute_prob(near, far, mean, var, vis, aw,
+                                      self.use_vis)
+        return jnp.mean(hit_prob, axis=-1)
+
     def predict_self_hit_prob(self, que_ray_feats: Array, que_depth: Array,
                               que_dists: Array, que_depth_range: Array,
                               is_fine: bool) -> Array:
@@ -246,6 +297,28 @@ class NeuralRayGenRenderer(nn.Module):
         r_coarse = r_fine = None
         if rng is not None:
             r_coarse, r_fine = jax.random.split(rng)
+
+        if self.light_coarse and self.use_hierarchical_sampling:
+            # serving fast path: proxy importance -> single full fine pass
+            cdn = self.coarse_proxy_samples or self.depth_sample_num
+            que_depth, _ = ro.sample_depth(qn, rn, cdn, self.min_depth,
+                                           self.max_depth, self.use_disp,
+                                           r_coarse)
+            hit = self.coarse_hit_proxy(ref_data, que_depth, coords,
+                                        que_c2w, que_depth_range,
+                                        ref_depth_range, perspec_cam)
+            fine_depth = ro.sample_fine_depth(
+                que_depth, hit, que_depth_range, self.fine_depth_sample_num,
+                r_fine, inv_mode=self.use_disp)
+            fine_depth = jnp.sort(fine_depth, axis=-1)
+            fine_out = self.render_by_depth(fine_depth, coords, que_c2w,
+                                            que_depth_range, ref_data,
+                                            ref_depth_range, is_fine=True,
+                                            perspec_cam=perspec_cam)
+            # base keys mirror the fine pass (like the DINER mode) so both
+            # metric-key families resolve
+            return {**fine_out,
+                    **{k + "_fine": v for k, v in fine_out.items()}}
 
         que_depth, _ = ro.sample_depth(qn, rn, self.depth_sample_num,
                                        self.min_depth, self.max_depth,
@@ -389,6 +462,14 @@ class NeuralRayGenRenderer(nn.Module):
         # ``renderer.py:291-298`` builds it from an all-ones mask).
         qn, rn, _ = que_info["coords"].shape
         outputs["ray_mask"] = jnp.ones((qn, rn), bool)
+
+        # per-ray sin(phi) weight for the polar-weighted render loss
+        # (reference computes it in the dataset, ``habitat_data_neuray.py``
+        # polar_weights, consumed by ``network/loss.py:95-116``); attached
+        # unconditionally — ``render_loss`` only reads it when
+        # ``use_polar_weighted_loss`` is on.
+        y = que_info["coords"][..., 1]
+        outputs["polar_weights"] = jnp.sin((y + 0.5) * jnp.pi / self.height)
 
         if "true_depth" in ref_info:
             rfn = ref_info["imgs"].shape[0]

@@ -13,6 +13,14 @@ jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
 jax.config.update("jax_default_matmul_precision", "float32")
 
+# Persistent XLA compilation cache: the suite is compile-dominated on this
+# one-core box (~40 min cold), and most test jits are identical across
+# runs — cache them on disk so re-runs skip XLA entirely (warm runs cut
+# the wall clock several-fold; delete the dir to force a cold run).
+jax.config.update("jax_compilation_cache_dir", "/tmp/panogrf_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

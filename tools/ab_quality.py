@@ -1,0 +1,173 @@
+"""Quality A/B for every serving-path approximation.
+
+Renders the same held-out synthetic scenes with one trained checkpoint
+under each operating point and prints a PSNR/SSIM table:
+
+  exact        float32, per-map gathers, full coarse+fine (reference
+               numerics)
+  fast_gather  single merged full-res gather (quality-neutral claim)
+  bf16         fast_gather + bfloat16 compute (the serving default)
+  light_coarse bf16 + proxy coarse pass (importance from the decoded
+               NeuRay stats map, fine pass unchanged)
+  diner        depth-guided sampling, no fine pass
+
+Usage:
+  python tools/ab_quality.py [--ckpt data/model/run/latest] [--steps 300]
+      [--height 128 --width 256] [--num 4] [--cpu]
+
+Without --ckpt a small renderer is trained from scratch on procedural
+scenes first (steps controlled by --steps) so the comparison runs on
+weights that actually render structure.
+"""
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--ckpt", default=None)
+    ap.add_argument("--steps", type=int, default=300)
+    ap.add_argument("--height", type=int, default=128)
+    ap.add_argument("--width", type=int, default=256)
+    ap.add_argument("--depth-height", type=int, default=64)
+    ap.add_argument("--depth-width", type=int, default=128)
+    ap.add_argument("--num", type=int, default=4)
+    ap.add_argument("--m3d-dist", type=float, default=0.5)
+    ap.add_argument("--samples", type=int, default=64)
+    ap.add_argument("--proxy-samples", type=int, default=0)
+    ap.add_argument("--modes", default="exact,fast_gather,bf16,"
+                                       "light_coarse,diner")
+    ap.add_argument("--out", default=None, help="write the table as JSON")
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args()
+
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+    import jax
+    import jax.numpy as jnp
+
+    from panogrf_tpu.data import imgs_info
+    from panogrf_tpu.data.synthetic import (SphereScene,
+                                            make_three_view_sample)
+    from panogrf_tpu.nn.blocks import resize_linear
+    from panogrf_tpu.renderer.renderer import NeuralRayGenRenderer
+    from panogrf_tpu.renderer import full_render
+    from panogrf_tpu.train import metrics as M
+
+    H, W = args.height, args.width
+    DH, DW = args.depth_height, args.depth_width
+    dn = args.samples
+
+    def make_model(**kw):
+        return NeuralRayGenRenderer(
+            height=H, width=W, depth_hw=(DH, DW), depth_sample_num=dn,
+            fine_depth_sample_num=dn,
+            coarse_proxy_samples=args.proxy_samples, **kw)
+
+    # all modes share ONE parameter tree (the flags only change execution)
+    base = make_model()
+    rng = np.random.default_rng(0)
+    scene = SphereScene.random(1234)
+    s0 = make_three_view_sample(scene, H, W, args.m3d_dist, seed=0)
+    coords = imgs_info.sample_train_coords(rng, H, W, 512)
+
+    def with_depth(data, s):
+        d = s["depth_panos"][jnp.asarray(imgs_info.REF_IDS)]
+        data["ref_imgs_info"]["mvs_depth"] = resize_linear(
+            d, (DH, DW), axes=(1, 2))
+        data.pop("src_imgs_info", None)
+        return data
+
+    data0 = with_depth(imgs_info.build_render_sample(s0, coords), s0)
+    params = jax.jit(base.init)(jax.random.PRNGKey(0), data0)
+    if args.ckpt:
+        from panogrf_tpu.train.trainer import load_checkpoint_params
+        params = load_checkpoint_params(args.ckpt)
+        print(f"restored {args.ckpt}")
+    else:
+        from panogrf_tpu.train.trainer import Trainer, TrainerConfig
+        pool = [make_three_view_sample(SphereScene.random(100 + i), H, W,
+                                       args.m3d_dist, seed=i)
+                for i in range(8)]
+
+        def stream():
+            while True:
+                s = pool[int(rng.integers(len(pool)))]
+                c = imgs_info.sample_train_coords(rng, H, W, 512)
+                yield with_depth(imgs_info.build_render_sample(s, c), s)
+
+        cfg = TrainerConfig(total_step=args.steps, val_interval=10**9,
+                            save_interval=10**9, losses=("render",),
+                            log_interval=100,
+                            lr_cfg={"lr_init": 4e-4, "decay_step": 10**9,
+                                    "decay_rate": 0.5})
+        tr = Trainer(lambda p, b, r: base.apply(p, b, rng=r), params, cfg,
+                     log_fn=lambda st, m: print(f"train {st}: "
+                                                f"loss={m['loss']:.4f}"))
+        tr.fit(stream())
+        params = tr.state.params
+
+    mode_cfgs = {
+        "exact": {},
+        "fast_gather": {"fast_gather": True},
+        "bf16": {"fast_gather": True, "compute_dtype": "bfloat16"},
+        "light_coarse": {"fast_gather": True, "compute_dtype": "bfloat16",
+                         "light_coarse": True},
+        "diner": {"fast_gather": True, "compute_dtype": "bfloat16"},
+    }
+    scenes = []
+    for i in range(args.num):
+        s = make_three_view_sample(SphereScene.random(9000 + i), H, W,
+                                   args.m3d_dist, seed=100 + i)
+        scenes.append(s)
+
+    table = {}
+    for mode in args.modes.split(","):
+        model = make_model(**mode_cfgs[mode])
+        vals = []
+        for s in scenes:
+            ref_info = imgs_info.build_imgs_info(
+                s, imgs_info.REF_IDS, (0.5, 15.0))
+            ref_info["mvs_depth"] = resize_linear(
+                s["depth_panos"][jnp.asarray(imgs_info.REF_IDS)],
+                (DH, DW), axes=(1, 2))
+            q = imgs_info.QUE_ID
+            c2w = imgs_info.c2w_from_w2c(
+                imgs_info.pose_w2c(s["rots"], s["trans"])[q][None])[0]
+            if mode == "diner":
+                ref_data = full_render.prepare_ref_data(model, params,
+                                                        ref_info)
+                ref_data["mvs_depth"] = ref_info["mvs_depth"]
+                ref_data["mvs_uncert"] = 0.04 * jnp.ones_like(
+                    ref_info["mvs_depth"])
+                rgb = full_render.render_image_device(
+                    model, params, ref_data, c2w,
+                    jnp.asarray([[0.5, 15.0]]), ref_info["depth_range"],
+                    chunk=min(2048, H * W), mode="diner")
+                out = {"rgb": rgb}
+            else:
+                out = full_render.render_image(
+                    model, params, ref_info, c2w,
+                    jnp.asarray([[0.5, 15.0]]), chunk=min(8192, H * W))
+            m = M.render_metrics(out["rgb"], s["rgb_panos"][q])
+            vals.append({k: float(v) for k, v in m.items()})
+        table[mode] = {k: round(float(np.mean([v[k] for v in vals])), 4)
+                       for k in vals[0]}
+        print(f"{mode:14s} " + " ".join(f"{k}={v:.3f}"
+                                        for k, v in table[mode].items()))
+
+    if args.out:
+        Path(args.out).write_text(json.dumps(table, indent=2))
+    print(json.dumps(table))
+
+
+if __name__ == "__main__":
+    main()
