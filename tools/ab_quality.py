@@ -44,6 +44,9 @@ def main():
     ap.add_argument("--proxy-samples", type=int, default=0)
     ap.add_argument("--modes", default="exact,fast_gather,bf16,"
                                        "light_coarse,diner")
+    ap.add_argument("--save-ckpt", default=None,
+                    help="save the from-scratch-trained params here "
+                         "(orbax) so later mode runs can reuse --ckpt")
     ap.add_argument("--out", default=None, help="write the table as JSON")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
@@ -67,10 +70,12 @@ def main():
     dn = args.samples
 
     def make_model(**kw):
-        return NeuralRayGenRenderer(
+        base_kw = dict(
             height=H, width=W, depth_hw=(DH, DW), depth_sample_num=dn,
             fine_depth_sample_num=dn,
-            coarse_proxy_samples=args.proxy_samples, **kw)
+            coarse_proxy_samples=args.proxy_samples)
+        base_kw.update(kw)
+        return NeuralRayGenRenderer(**base_kw)
 
     # all modes share ONE parameter tree (the flags only change execution)
     base = make_model()
@@ -114,6 +119,11 @@ def main():
                                                 f"loss={m['loss']:.4f}"))
         tr.fit(stream())
         params = tr.state.params
+        if args.save_ckpt:
+            import orbax.checkpoint as ocp
+            ocp.StandardCheckpointer().save(
+                Path(args.save_ckpt).absolute(), params, force=True)
+            print(f"saved params -> {args.save_ckpt}")
 
     mode_cfgs = {
         "exact": {},
@@ -121,6 +131,14 @@ def main():
         "bf16": {"fast_gather": True, "compute_dtype": "bfloat16"},
         "light_coarse": {"fast_gather": True, "compute_dtype": "bfloat16",
                          "light_coarse": True},
+        # real coarse pass (occlusion-aware aggregation kept) at a reduced
+        # sample count — importance only needs to be roughly right, and
+        # the sinusoid pos-encoding is non-learned so the dn=64-trained
+        # params apply unchanged
+        "coarse16": {"fast_gather": True, "compute_dtype": "bfloat16",
+                     "depth_sample_num": 16},
+        "coarse32": {"fast_gather": True, "compute_dtype": "bfloat16",
+                     "depth_sample_num": 32},
         "diner": {"fast_gather": True, "compute_dtype": "bfloat16"},
     }
     scenes = []
