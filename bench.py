@@ -32,11 +32,14 @@ def main():
                     help="depth-guided (DINER) sampling operating point: "
                          "64 guided samples, no fine pass — the "
                          "reference's own low-sample mode")
-    ap.add_argument("--no-light-coarse", dest="light_coarse",
-                    action="store_false", default=True,
-                    help="disable the light coarse pass (proxy importance "
-                         "from the decoded NeuRay stats map; quality A/B "
-                         "in tools/ab_quality.py)")
+    # light_coarse measured -6.9 dB PSNR on the trained-checkpoint A/B
+    # (AB_QUALITY_r3.json) -> opt-in only; the headline stays on the
+    # quality-neutral fast_gather+bf16 operating point.
+    ap.add_argument("--light-coarse", dest="light_coarse",
+                    action="store_true", default=False,
+                    help="proxy coarse pass (importance from the decoded "
+                         "NeuRay stats map; -6.9 dB on the quality A/B — "
+                         "see tools/ab_quality.py)")
     ap.add_argument("--proxy-samples", type=int, default=0,
                     help="coarse sample count for the proxy pass "
                          "(0 = depth_sample_num)")
