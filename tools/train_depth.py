@@ -43,6 +43,10 @@ def main():
     ap.add_argument("--max-depth", type=float, default=10.0)
     ap.add_argument("--hypotheses", type=int, default=64)
     ap.add_argument("--mvs-uncertainty", action="store_true")
+    ap.add_argument("--model", default="mvs", choices=["mvs", "fnet"],
+                    help="mvs = 360-MVSNet with mono prior (default); "
+                         "fnet = single-UNet cost-volume variant "
+                         "(reference fnet.py v3_erp, no mono prior)")
     ap.add_argument("--new-reg3dnet", action="store_true",
                     help="MVSNet CostRegNet regularizer (use_new_reg3dnet)")
     ap.add_argument("--cpu", action="store_true")
@@ -84,9 +88,12 @@ def main():
     mono = UniFuse(max_depth=args.max_depth)
     rng = np.random.default_rng(2022)
 
-    dummy_e = jnp.zeros((1, H, W, 3))
-    dummy_c = jnp.zeros((1, 6, H // 2, H // 2, 3))
-    mono_vars = jax.jit(mono.init)(jax.random.PRNGKey(1), dummy_e, dummy_c)
+    mono_vars = None
+    if args.model == "mvs":
+        dummy_e = jnp.zeros((1, H, W, 3))
+        dummy_c = jnp.zeros((1, 6, H // 2, H // 2, 3))
+        mono_vars = jax.jit(mono.init)(jax.random.PRNGKey(1), dummy_e,
+                                       dummy_c)
     if args.mono_ckpt:
         import orbax.checkpoint as ocp
         mono_vars = ocp.StandardCheckpointer().restore(
@@ -139,39 +146,54 @@ def main():
             "trans": jnp.asarray(np.stack(trans), jnp.float32),
             "gt_depth": jnp.asarray(np.stack(gts), jnp.float32),
         }
-        # frozen mono prior on the reference view
-        equi = normalize_imagenet(batch["panos"][:, 1])
-        cube = jax.vmap(lambda e: cubemap.equi_to_cube(e, H // 2))(equi)
-        mout = mono_apply(mono_vars, equi, cube)
-        batch["mono_depth"] = jax.lax.stop_gradient(mout["pred_depth"])
-        batch["mono_feat"] = jax.lax.stop_gradient(mout["mono_feat"])
+        if args.model == "mvs":
+            # frozen mono prior on the reference view
+            equi = normalize_imagenet(batch["panos"][:, 1])
+            cube = jax.vmap(lambda e: cubemap.equi_to_cube(e, H // 2))(equi)
+            mout = mono_apply(mono_vars, equi, cube)
+            batch["mono_depth"] = jax.lax.stop_gradient(mout["pred_depth"])
+            batch["mono_feat"] = jax.lax.stop_gradient(mout["mono_feat"])
         return batch
 
     def batches():
         while True:
             yield make_batch()
 
-    model = MVSDepthModel(
-        min_depth=args.min_depth, max_depth=args.max_depth,
-        num_hypotheses=args.hypotheses,
-        mvs_uncertainty=args.mvs_uncertainty,
-        use_new_reg3dnet=args.new_reg3dnet)
     first = make_batch()
-    variables = jax.jit(model.init)(
-        jax.random.PRNGKey(0), first["panos"], first["rots"],
-        first["trans"], first["mono_depth"], first["mono_feat"])
-    n = sum(x.size for x in jax.tree.leaves(variables))
-    print(f"mvs params: {n/1e6:.2f}M")
+    if args.model == "fnet":
+        from panogrf_tpu.models.fnet import FNetDepthModel
+        model = FNetDepthModel(
+            min_depth=args.min_depth, max_depth=args.max_depth,
+            num_depths=args.hypotheses)
+        variables = jax.jit(model.init)(
+            jax.random.PRNGKey(0), first["panos"][:, :2],
+            first["rots"][:, :2], first["trans"][:, :2])
 
-    def forward_fn(variables, batch, train):
-        out = model.apply(variables, batch["panos"], batch["rots"],
-                          batch["trans"], batch["mono_depth"],
-                          batch["mono_feat"])
-        out = dict(out)
-        out["pred_depth"] = out.pop("depth")
-        if args.mvs_uncertainty:
-            out["pred"] = out["pred_final"]
-        return out, {}
+        def forward_fn(variables, batch, train):
+            out = model.apply(variables, batch["panos"][:, :2],
+                              batch["rots"][:, :2], batch["trans"][:, :2])
+            return {"pred_depth": out["depth"]}, {}
+    else:
+        model = MVSDepthModel(
+            min_depth=args.min_depth, max_depth=args.max_depth,
+            num_hypotheses=args.hypotheses,
+            mvs_uncertainty=args.mvs_uncertainty,
+            use_new_reg3dnet=args.new_reg3dnet)
+        variables = jax.jit(model.init)(
+            jax.random.PRNGKey(0), first["panos"], first["rots"],
+            first["trans"], first["mono_depth"], first["mono_feat"])
+
+        def forward_fn(variables, batch, train):
+            out = model.apply(variables, batch["panos"], batch["rots"],
+                              batch["trans"], batch["mono_depth"],
+                              batch["mono_feat"])
+            out = dict(out)
+            out["pred_depth"] = out.pop("depth")
+            if args.mvs_uncertainty:
+                out["pred"] = out["pred_final"]
+            return out, {}
+    n = sum(x.size for x in jax.tree.leaves(variables))
+    print(f"{args.model} params: {n/1e6:.2f}M")
 
     loss = "gaussian_nll" if args.mvs_uncertainty else "l1_sphere"
     cfg = DepthTrainConfig(name=args.name, learning_rate=args.lr,
