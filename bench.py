@@ -43,6 +43,15 @@ def main():
     ap.add_argument("--proxy-samples", type=int, default=0,
                     help="coarse sample count for the proxy pass "
                          "(0 = depth_sample_num)")
+    ap.add_argument("--depth-major", action="store_true",
+                    help="gather rows in (sample, ray) order — adjacent "
+                         "rays at one depth index are ~1 px apart in the "
+                         "ref maps, so the gather stream is near-"
+                         "sequential in HBM (numerics identical)")
+    ap.add_argument("--gather-stride", type=int, default=1,
+                    help="fetch merged-map rows at every S-th depth sample "
+                         "and interpolate in between (epipolar feature "
+                         "interpolation; quality A/B in tools/ab_quality)")
     ap.add_argument("--with-depth-stack", action="store_true",
                     help="also time the per-scene cost: frozen mono+MVS "
                          "depth inference + reference-view encoding "
@@ -63,6 +72,8 @@ def main():
         height=H, width=W, depth_hw=(DH, DW),
         fast_gather=args.fast_gather,
         light_coarse=args.light_coarse and not args.diner,
+        gather_depth_major=args.depth_major,
+        gather_stride=args.gather_stride,
         coarse_proxy_samples=args.proxy_samples,
         compute_dtype="bfloat16" if not on_cpu else "float32")
     rng = np.random.default_rng(0)

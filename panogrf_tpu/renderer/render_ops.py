@@ -183,7 +183,9 @@ def depth2points_spherical(coords: Array, que_depth: Array, c2w: Array,
 
 def project_points_dict(ref_data: dict, que_pts: Array,
                         convention: SphereConvention,
-                        que_dir: Array | None = None) -> dict:
+                        que_dir: Array | None = None,
+                        depth_major: bool = False,
+                        gather_stride: int = 1) -> dict:
     """Project query points into every reference ERP view and gather.
 
     Reference ``render_ops.py:234-257`` — but in POINT-MAJOR layout:
@@ -193,12 +195,23 @@ def project_points_dict(ref_data: dict, que_pts: Array,
     multiview gather (``interpolate_feats_pointmajor``) emits point-major
     natively and only the small index/geometry arrays get transposed.
 
+    ``depth_major`` reorders the gather ROWS to (dn, rn): consecutive rows
+    are then adjacent ERP rays at the SAME depth index, whose projections
+    sit ~1 px apart — near-sequential HBM access — instead of consecutive
+    samples of one ray, which walk the whole epipolar curve.  TPU gathers
+    are DRAM-locality-bound, so row order is a first-class lever; outputs
+    are transposed back, numerics identical.
+
     ``ref_data`` keys (channel-last): ``imgs`` (rfn, H, W, 3), ``w2c``
     (rfn, 3, 4), ``ray_feats`` (rfn, fh, fw, F), ``img_feats``.
     """
     from panogrf_tpu.ops.resample import interpolate_feats_pointmajor
     qn, rn, dn, _ = que_pts.shape
     rfn, h, w, _ = ref_data["imgs"].shape
+    if depth_major:
+        que_pts = jnp.swapaxes(que_pts, 1, 2)                 # (qn, dn, rn, 3)
+        if que_dir is not None:
+            que_dir = jnp.swapaxes(que_dir, 1, 2)
     pts = que_pts.reshape(-1, 3)                              # (pn, 3)
 
     w2c = ref_data["w2c"]                                     # (rfn, 3, 4)
@@ -229,13 +242,63 @@ def project_points_dict(ref_data: dict, que_pts: Array,
         # fast_gather: ONE row fetch per (sample, view) from the full-res
         # [rgb | ray_feats | img_feats] map (renderer.prepare_ref).
         nd = ref_data["ray_feats"].shape[-1]
-        allf = interpolate_feats_pointmajor(ref_data["merged_full"], xy_vm,
-                                            h, w)
+        if gather_stride > 1:
+            # Epipolar feature interpolation: consecutive depth samples of
+            # a ray project ~2-3 px apart along a smooth epipolar curve, so
+            # fetch map rows only at every S-th sample and linearly
+            # interpolate the fetched rows for the samples in between.
+            # Geometry (depth / dir / dir_diff) stays EXACT for all dn
+            # samples — only the gathered appearance/feature rows are
+            # approximated.  Gather rows (the measured per-frame floor,
+            # ~17 ns/row regardless of slice) drop by ~S×.
+            # Implemented with static slices + one fused lerp ONLY — a
+            # take/gather formulation here would re-materialise pn rows
+            # and give the row reduction straight back.
+            s = gather_stride
+            ax = 1 if depth_major else 2
+            kk = -(-dn // s)                         # ceil(dn / s)
+            shp = ((qn, dn, rn) if depth_major else (qn, rn, dn))
+            xy4 = prj_xy.reshape(*shp, rfn, 2)
+            sl = [slice(None)] * 5
+            sl[ax] = slice(0, dn, s)
+            xy_sub = xy4[tuple(sl)]                  # kk on the dn axis
+            xy_sub_vm = jnp.moveaxis(xy_sub.reshape(-1, rfn, 2), 1, 0)
+            g = interpolate_feats_pointmajor(
+                ref_data["merged_full"], xy_sub_vm, h, w)
+            c = g.shape[-1]
+            gshp = ((qn, kk, rn) if depth_major else (qn, rn, kk))
+            g = g.reshape(*gshp, rfn, c)
+            one = [slice(None)] * 5
+            one[ax] = slice(1, None)
+            last = [slice(None)] * 5
+            last[ax] = slice(-1, None)
+            g_r = jnp.concatenate([g[tuple(one)], g[tuple(last)]], axis=ax)
+            # lerp g -> g_r at offsets o/s, o = 0..s-1 (the trailing
+            # partial group extrapolates its left row — farthest samples)
+            wshape = [1] * 6
+            wshape[ax + 1] = s
+            wts = (jnp.arange(s, dtype=jnp.float32) / s).reshape(wshape) \
+                .astype(g.dtype)
+            ge = jnp.expand_dims(g, ax + 1)
+            gre = jnp.expand_dims(g_r, ax + 1)
+            full = ge * (1 - wts) + gre * wts        # (.., kk, s, ..)
+            fshp = list(gshp)
+            fshp[ax] = kk * s
+            full = full.reshape(*fshp, rfn, c)
+            crop = [slice(None)] * 5
+            crop[ax] = slice(0, dn)
+            allf = full[tuple(crop)].reshape(-1, rfn, c)
+        else:
+            allf = interpolate_feats_pointmajor(ref_data["merged_full"],
+                                                xy_vm, h, w)
         prj_rgb = allf[..., :3]
         prj_ray_feats = allf[..., 3:3 + nd]
         prj_img_feats = allf[..., 3 + nd:]
 
         def rs(t):
+            if depth_major:
+                return jnp.swapaxes(
+                    t.reshape(qn, dn, rn, rfn, -1), 1, 2)
             return t.reshape(qn, rn, dn, rfn, -1)
 
         out = {
@@ -263,6 +326,8 @@ def project_points_dict(ref_data: dict, que_pts: Array,
             ref_data["img_feats"], xy_vm, h, w)
 
     def rs(t):
+        if depth_major:
+            return jnp.swapaxes(t.reshape(qn, dn, rn, rfn, -1), 1, 2)
         return t.reshape(qn, rn, dn, rfn, -1)
 
     out = {

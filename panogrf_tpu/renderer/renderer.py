@@ -88,6 +88,17 @@ class NeuralRayGenRenderer(nn.Module):
     # the proxy only shapes an importance distribution, so fewer/cheaper
     # samples are viable (quality A/B in bench --ab).
     coarse_proxy_samples: int = 0
+    # gather rows in (dn, rn) order: consecutive rows are adjacent rays at
+    # one depth index (~1 px apart in the ref map) instead of consecutive
+    # samples along one epipolar curve.  Numerics identical — only DRAM
+    # access locality changes (see render_ops.project_points_dict).
+    gather_depth_major: bool = False
+    # fetch merged-map rows only at every S-th depth sample and linearly
+    # interpolate the rows in between (epipolar feature interpolation,
+    # fast_gather path only; geometry stays exact).  Gather rows are the
+    # per-frame latency floor, so S=2 halves the dominant cost; quality
+    # A/B in tools/ab_quality.py before changing the default.
+    gather_stride: int = 1
 
     # 'ERP' (ResUNetLight) or 'ERP+TP' (dual ERP + tangent-patch encoder,
     # reference local_feature_type / init_net_feature_type knobs,
@@ -200,7 +211,9 @@ class NeuralRayGenRenderer(nn.Module):
                                                          que_c2w, directions)
         dt = jnp.dtype(self.compute_dtype)
         prj = ro.project_points_dict(ref_data, que_pts, conv,
-                                     que_dir=que_dir.astype(dt))
+                                     que_dir=que_dir.astype(dt),
+                                     depth_major=self.gather_depth_major,
+                                     gather_stride=self.gather_stride)
 
         decoder = self.fine_dist_decoder if is_fine else self.dist_decoder
         mean, var, vis, aw = decoder(prj["ray_feats"])

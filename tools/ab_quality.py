@@ -139,6 +139,14 @@ def main():
                      "depth_sample_num": 16},
         "coarse32": {"fast_gather": True, "compute_dtype": "bfloat16",
                      "depth_sample_num": 32},
+        # epipolar feature interpolation: gather every S-th sample's map
+        # row, lerp in between (geometry exact) — render_ops stride path
+        "s2": {"fast_gather": True, "compute_dtype": "bfloat16",
+               "gather_stride": 2},
+        "s4": {"fast_gather": True, "compute_dtype": "bfloat16",
+               "gather_stride": 4},
+        "s8": {"fast_gather": True, "compute_dtype": "bfloat16",
+               "gather_stride": 8},
         "diner": {"fast_gather": True, "compute_dtype": "bfloat16"},
     }
     scenes = []
