@@ -20,8 +20,10 @@ import jax
 import jax.numpy as jnp
 
 
-def timeit_chain(make_step, init, iters=8):
+def timeit_chain(make_step, init, iters=8, name=None):
     """Time f applied iters times sequentially (data-dependent chain)."""
+    if name:
+        print(f"[stage] {name} ...", flush=True)
     step = jax.jit(make_step)
     out = step(init)
     s = jax.jit(lambda o: sum(jnp.sum(x.astype(jnp.float32))
@@ -83,8 +85,8 @@ def main():
                 * 1e-6) % 512
 
     if want("gather"):
-        res["gather_imgs_512x1024x3_ms"] = timeit_chain(g_imgs, pts0)
-        res["gather_merged_128x256x64_ms"] = timeit_chain(g_merged, pts0)
+        res["gather_imgs_512x1024x3_ms"] = timeit_chain(g_imgs, pts0, name="gather_imgs_512x1024x3_ms")
+        res["gather_merged_128x256x64_ms"] = timeit_chain(g_merged, pts0, name="gather_merged_128x256x64_ms")
 
     # --- dist decoder (point-major (1, rn, dn, rfn, 32)) -------------------
     dec = MixtureLogisticsDistDecoder()
@@ -98,7 +100,7 @@ def main():
         return feats + (1e-6 * upd).astype(feats.dtype)
 
     if want("dist_decoder"):
-        res["dist_decoder_ms"] = timeit_chain(g_dec, feats0)
+        res["dist_decoder_ms"] = timeit_chain(g_dec, feats0, name="dist_decoder_ms")
 
     # --- compute_prob -------------------------------------------------------
     near0 = jnp.asarray(rng.uniform(0, 1, size=(1, rn, dn, rfn)), jnp.float32)
@@ -112,7 +114,7 @@ def main():
         return near + 1e-6 * hit
 
     if want("compute_prob"):
-        res["compute_prob_ms"] = timeit_chain(g_prob, near0)
+        res["compute_prob_ms"] = timeit_chain(g_prob, near0, name="compute_prob_ms")
 
     # --- agg net (point-major) ----------------------------------------------
     from panogrf_tpu.renderer.agg_net import DefaultAggregationNet
@@ -136,7 +138,7 @@ def main():
                 for k, v in prj.items()}
 
     if want("agg"):
-        res["agg_net_ms"] = timeit_chain(g_agg, prj, iters=4)
+        res["agg_net_ms"] = timeit_chain(g_agg, prj, iters=4, name="agg_net_ms")
 
     # --- projection math ----------------------------------------------------
     w2c = jnp.broadcast_to(
@@ -150,7 +152,7 @@ def main():
         return pts3 + 1e-6 * jnp.mean(xy, 1)[..., :2].sum(-1, keepdims=True)
 
     if want("projection"):
-        res["projection_math_ms"] = timeit_chain(g_proj, pts3)
+        res["projection_math_ms"] = timeit_chain(g_proj, pts3, name="projection_math_ms")
 
     # --- fine resampling (searchsorted) --------------------------------------
     depth0 = jnp.broadcast_to(jnp.linspace(0.5, 15, dn), (1, rn, dn))
@@ -162,7 +164,7 @@ def main():
         return jnp.sort(f, -1)
 
     if want("fine"):
-        res["sample_fine_depth_ms"] = timeit_chain(g_fine, depth0)
+        res["sample_fine_depth_ms"] = timeit_chain(g_fine, depth0, name="sample_fine_depth_ms")
 
     # --- one full coarse render_by_depth pass -------------------------------
     if not want("coarse"):
@@ -206,7 +208,7 @@ def main():
                else "pixel_colors_nr")
         return (coords + 1e-6 * out[key][..., :2]) % 128
 
-    res["coarse_pass_ms"] = timeit_chain(g_pass, coords0, iters=4)
+    res["coarse_pass_ms"] = timeit_chain(g_pass, coords0, iters=4, name="coarse_pass_ms")
     n_chunks = H * W // rn
     res["coarse_pass_frame_equiv_s"] = round(
         res["coarse_pass_ms"] * n_chunks / 1000.0, 2)
