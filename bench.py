@@ -55,6 +55,17 @@ def main():
                     help="fetch merged-map rows at every S-th depth sample "
                          "and interpolate in between (epipolar feature "
                          "interpolation; quality A/B in tools/ab_quality)")
+    ap.add_argument("--gather-stride-fine", type=int, default=0,
+                    help="separate stride for the fine pass "
+                         "(0 = same as --gather-stride)")
+    ap.add_argument("--decode-on-map", action="store_true",
+                    help="precompute the dist-decoder heads on the ray-"
+                         "feature map (prepare_ref) and gather the 5-ch "
+                         "stats with the row instead of running per-"
+                         "sample MLPs (quality A/B: tools/ab_quality "
+                         "mode 'dmap')")
+    ap.add_argument("--pallas-agg", action="store_true",
+                    help="IBR pooled stage via the fused Pallas kernel")
     ap.add_argument("--with-depth-stack", action="store_true",
                     help="also time the per-scene cost: frozen mono+MVS "
                          "depth inference + reference-view encoding "
@@ -77,6 +88,9 @@ def main():
         light_coarse=args.light_coarse and not args.diner,
         gather_depth_major=args.depth_major,
         gather_stride=args.gather_stride,
+        gather_stride_fine=args.gather_stride_fine,
+        decode_on_map=args.decode_on_map,
+        pallas_agg=args.pallas_agg,
         coarse_proxy_samples=args.proxy_samples,
         compute_dtype="bfloat16" if not on_cpu else "float32")
     rng = np.random.default_rng(0)

@@ -137,7 +137,8 @@ def _kernel(num_views,
         h = _elu(h)
         h = _elu(_dot(h, rgb_w2[:]) + rgb_b2[:])
         l = (_dot(h, rgb_w3[:]) + rgb_b3[:])[:, 0:1]
-        l = jnp.where(masks[i] == 0, -1e9, l)
+        # compare in f32: Mosaic rejects cmpf on bf16 vectors
+        l = jnp.where(masks[i].astype(jnp.float32) == 0.0, -1e9, l)
         logits.append(l)
     mx = jnp.maximum(*logits) if v == 2 else functools.reduce(
         jnp.maximum, logits)
@@ -166,6 +167,15 @@ def pool_reference(rgb_feat: Array, neuray_feat: Array, ray_diff: Array,
     Shapes as :func:`ibr_pool`; returns (geo (N,16), rgb (N,3),
     nvalid (N,1)).  Mirrors reference ``ibrnet.py:315-373`` up to (and
     excluding) the ray attention.
+
+    LAYOUT NOTE (measured 2026-08-17): a view-major flat rewrite —
+    every intermediate (v*N, c) instead of (N, v, c), cross-view
+    reductions via row-block slices — was MEASURED SLOWER end to end
+    (2203 vs 1900 ms/frame default; 1905 vs 1606 with decode_on_map):
+    the input transposes + per-view concats cost more than the
+    (N, v=2, c) sublane padding they remove, because XLA keeps most of
+    this chain fused.  Keep the (N, v, c) formulation; the flat twin
+    survives as the regression test `test_pool_flat_matches_nvc_layout`.
     """
     p = params
     eps = 1e-8
@@ -190,7 +200,6 @@ def pool_reference(rgb_feat: Array, neuray_feat: Array, ray_diff: Array,
     mean0, var0 = mean_var(rgbf, w0)
     mean1, var1 = mean_var(rgbf, weight)
     gf = jnp.concatenate([mean0, var0, mean1, var1], -1)
-    v = rgb_feat.shape[1]
     x = jnp.concatenate([jnp.broadcast_to(gf, (*rgbf.shape[:2],
                                                gf.shape[-1])),
                          rgbf, neuray_feat], -1)

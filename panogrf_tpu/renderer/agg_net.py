@@ -199,6 +199,7 @@ class DefaultAggregationNet(nn.Module):
     n_samples: int = 64
     wo_geometry: bool = False
     wo_appearance: bool = False
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, prj_dict: dict, que_dir: Array) -> tuple:
@@ -246,6 +247,7 @@ class DefaultAggregationNet(nn.Module):
             mask = jnp.ones((qn, rn, dn, rfn, 1), img_feats.dtype)
 
         out = IBRNetWithNeuRay(self.neuray_dim, self.in_feat_ch, dn,
+                               use_pallas=self.use_pallas,
                                name="agg_impl")(
             to_rays(img_feats), to_rays(prob_embedding), to_rays(dir_diff),
             to_rays(mask))

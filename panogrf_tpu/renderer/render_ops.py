@@ -291,9 +291,10 @@ def project_points_dict(ref_data: dict, que_pts: Array,
         else:
             allf = interpolate_feats_pointmajor(ref_data["merged_full"],
                                                 xy_vm, h, w)
+        ni = ref_data["img_feats"].shape[-1]
         prj_rgb = allf[..., :3]
         prj_ray_feats = allf[..., 3:3 + nd]
-        prj_img_feats = allf[..., 3 + nd:]
+        prj_img_feats = allf[..., 3 + nd:3 + nd + ni]
 
         def rs(t):
             if depth_major:
@@ -309,6 +310,11 @@ def project_points_dict(ref_data: dict, que_pts: Array,
             "rgb": rs(prj_rgb),
             "img_feats": rs(prj_img_feats),
         }
+        if allf.shape[-1] > 3 + nd + ni:
+            # decode-on-map stats channels riding the same gather row
+            # (renderer.prepare_ref appends them; the renderer splits
+            # coarse/fine halves)
+            out["stats"] = rs(allf[..., 3 + nd + ni:])
         if prj_dir_diff is not None:
             out["dir_diff"] = rs(prj_dir_diff)
         return out

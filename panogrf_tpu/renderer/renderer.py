@@ -99,6 +99,25 @@ class NeuralRayGenRenderer(nn.Module):
     # per-frame latency floor, so S=2 halves the dominant cost; quality
     # A/B in tools/ab_quality.py before changing the default.
     gather_stride: int = 1
+    # separate stride for the FINE pass (0 -> gather_stride).  Fine
+    # samples are importance-resampled around surfaces, so consecutive
+    # samples sit closer together on the epipolar curve than coarse ones
+    # — a larger fine stride loses less than the same coarse stride
+    # (A/B modes 's4f8' etc. in tools/ab_quality.py).
+    gather_stride_fine: int = 0
+    # decode-on-map (serving): run the coarse+fine dist-decoder heads ONCE
+    # per scene on the full-res ray-feature map (prepare_ref) and append
+    # the decoded (mean2, var2, aw) stats to the merged gather map — the
+    # per-sample pass then reads 5 stats channels from the row it already
+    # fetches instead of running 3x3-layer MLPs on every (sample, view).
+    # Row count (the latency floor) is unchanged; the approximation is
+    # bilinear interpolation of decoded stats instead of decoding
+    # interpolated features (A/B in tools/ab_quality.py, mode 'dmap').
+    # fast_gather only; training paths keep the exact decoders.
+    decode_on_map: bool = False
+    # route the IBR pooled stage through the fused Pallas kernel
+    # (ops/pallas/ibr_pool.py) instead of the XLA chain
+    pallas_agg: bool = False
 
     # 'ERP' (ResUNetLight) or 'ERP+TP' (dual ERP + tangent-patch encoder,
     # reference local_feature_type / init_net_feature_type knobs,
@@ -129,12 +148,14 @@ class NeuralRayGenRenderer(nn.Module):
         self.dist_decoder = MixtureLogisticsDistDecoder(
             use_vis=self.use_vis, name="dist_decoder")
         self.agg_net = DefaultAggregationNet(
-            n_samples=self.depth_sample_num, name="agg_net")
+            n_samples=self.depth_sample_num, use_pallas=self.pallas_agg,
+            name="agg_net")
         if self.use_hierarchical_sampling:
             self.fine_dist_decoder = MixtureLogisticsDistDecoder(
                 use_vis=self.use_vis, name="fine_dist_decoder")
             self.fine_agg_net = DefaultAggregationNet(
-                n_samples=self.fine_depth_sample_num, name="fine_agg_net")
+                n_samples=self.fine_depth_sample_num,
+                use_pallas=self.pallas_agg, name="fine_agg_net")
 
     @property
     def convention(self):
@@ -173,8 +194,21 @@ class NeuralRayGenRenderer(nn.Module):
             h, w = ref_imgs.shape[1:3]
             mf_full = resize_linear(out["merged_feats"], (h, w),
                                     axes=(1, 2))
-            out["merged_full"] = jnp.concatenate(
-                [out["imgs"], mf_full.astype(dt)], axis=-1)
+            parts = [out["imgs"], mf_full.astype(dt)]
+            if self.decode_on_map:
+                # decode the mixture heads on the full-res upsampled
+                # ray-feature map (same map the per-sample gather would
+                # interpolate) and ride the stats on the same gather row
+                nd = out["ray_feats"].shape[-1]
+                rf_full = mf_full[..., :nd].astype(jnp.float32)
+                for dec in ([self.dist_decoder, self.fine_dist_decoder]
+                            if self.use_hierarchical_sampling
+                            else [self.dist_decoder]):
+                    mean, var, vis, aw = dec(rf_full)
+                    st = [mean, var, aw] + ([vis] if vis is not None
+                                            else [])
+                    parts.append(jnp.concatenate(st, -1).astype(dt))
+            out["merged_full"] = jnp.concatenate(parts, axis=-1)
         if self.light_coarse:
             # decode the coarse mixture heads ONCE on the ray-feature map
             # (float32: the CDF math downstream is float32 anyway)
@@ -210,13 +244,28 @@ class NeuralRayGenRenderer(nn.Module):
             que_pts, que_dir = ro.depth2points_spherical(coords, que_depth,
                                                          que_c2w, directions)
         dt = jnp.dtype(self.compute_dtype)
+        stride = (self.gather_stride_fine or self.gather_stride) \
+            if is_fine else self.gather_stride
         prj = ro.project_points_dict(ref_data, que_pts, conv,
                                      que_dir=que_dir.astype(dt),
                                      depth_major=self.gather_depth_major,
-                                     gather_stride=self.gather_stride)
+                                     gather_stride=stride)
 
-        decoder = self.fine_dist_decoder if is_fine else self.dist_decoder
-        mean, var, vis, aw = decoder(prj["ray_feats"])
+        if "stats" in prj:
+            # decode-on-map: per-sample stats were gathered with the row
+            # (prepare_ref decoded the heads on the map); split the
+            # coarse/fine halves and skip the per-sample MLPs.
+            sw = prj["stats"].shape[-1]
+            half = sw // 2 if self.use_hierarchical_sampling else sw
+            st = prj["stats"][..., half:half * 2] if is_fine \
+                else prj["stats"][..., :half]
+            st = st.astype(jnp.float32)
+            mean, var, aw = st[..., 0:2], st[..., 2:4], st[..., 4:5]
+            vis = st[..., 5:6] if (self.use_vis and half > 5) else None
+        else:
+            decoder = (self.fine_dist_decoder if is_fine
+                       else self.dist_decoder)
+            mean, var, vis, aw = decoder(prj["ray_feats"])
         # probability math in float32 regardless of compute dtype
         f32 = lambda t: None if t is None else t.astype(jnp.float32)
         near, far = get_near_far_intervals_ref(

@@ -100,3 +100,34 @@ def test_depth_trainer_rolling_checkpoints(tmp_path):
     assert len(kept) == 2  # rolling window
     assert tr.restore()
     assert tr.step == 4
+
+
+def test_standard_checkpointer_roundtrip_bitexact(tmp_path):
+    """Params saved via ocp.StandardCheckpointer (the ab_quality
+    --save-ckpt path) restore BIT-EXACT through load_checkpoint_params
+    — guards the save/restore integrity of every eval comparison."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import orbax.checkpoint as ocp
+    from panogrf_tpu.train.trainer import load_checkpoint_params
+
+    rng = np.random.default_rng(0)
+    params = {"params": {
+        "dense": {"kernel": jnp.asarray(rng.normal(size=(7, 13)),
+                                        jnp.float32),
+                  "bias": jnp.asarray(rng.normal(size=(13,)),
+                                      jnp.float32)},
+        "nested": {"w": jnp.asarray(rng.normal(size=(3, 5, 2)),
+                                    jnp.float32)}}}
+    path = tmp_path / "ckpt"
+    ck = ocp.StandardCheckpointer()
+    ck.save(path.absolute(), params, force=True)
+    ck.wait_until_finished()  # save is async (tools/ab_quality.py bug)
+    restored = load_checkpoint_params(path)
+    flat_a = jax.tree_util.tree_leaves_with_path(params)
+    flat_b = dict(jax.tree_util.tree_leaves_with_path(restored))
+    assert len(flat_a) == len(flat_b)
+    for key, leaf in flat_a:
+        np.testing.assert_array_equal(np.asarray(leaf),
+                                      np.asarray(flat_b[key]))

@@ -54,3 +54,95 @@ def test_mlp2_batched_shape():
     xb = jnp.ones((2, 3, 5, 207))
     out = mlp2_batched(xb, w1, b1, w2, b2, interpret=True)
     assert out.shape == (2, 3, 5, 32)
+
+
+def _pool_nvc(rgb_feat, neuray_feat, ray_diff, mask, params):
+    """The pre-flat (N, v, c)-layout pooled stage, kept as the numeric
+    reference for the view-major flat rewrite in ibr_pool.pool_reference
+    (reference ``ibrnet.py:315-373``)."""
+    import jax
+    import jax.numpy as jnp
+    p = params
+    eps = 1e-8
+    _elu = lambda x: jnp.where(x > 0, x, jnp.exp(jnp.minimum(x, 0.)) - 1.)
+    _sig = jax.nn.sigmoid
+
+    def seq2(name, x, act_last=True):
+        h = _elu(x @ p[name]["w0"] + p[name]["b0"])
+        h = h @ p[name]["w1"] + p[name]["b1"]
+        return _elu(h) if act_last else h
+
+    weight = mask / (jnp.sum(mask, axis=1, keepdims=True) + eps)
+    dirf = seq2("ray_dir_fc", ray_diff)
+    rgb_in = rgb_feat[..., :3]
+    rgbf = rgb_feat + dirf
+    w0 = _sig(seq2("neuray_fc", neuray_feat, act_last=False)) * weight
+
+    def mean_var(x, w):
+        m = jnp.sum(x * w, axis=1, keepdims=True)
+        vv = jnp.sum(w * (x - m) ** 2, axis=1, keepdims=True)
+        return m, vv
+
+    mean0, var0 = mean_var(rgbf, w0)
+    mean1, var1 = mean_var(rgbf, weight)
+    gf = jnp.concatenate([mean0, var0, mean1, var1], -1)
+    x = jnp.concatenate(
+        [jnp.broadcast_to(gf, (*rgbf.shape[:2], gf.shape[-1])),
+         rgbf, neuray_feat], -1)
+    x = seq2("base_fc", x)
+    hv = seq2("vis_fc", x * weight)
+    x_res, vis = hv[..., :-1], hv[..., -1:]
+    vis = _sig(vis) * mask
+    x = x + x_res
+    h2 = _elu((x * vis) @ p["vis_fc2"]["w0"] + p["vis_fc2"]["b0"])
+    vis = _sig(h2 @ p["vis_fc2"]["w1"] + p["vis_fc2"]["b1"]) * mask
+    wgt = vis / (jnp.sum(vis, axis=1, keepdims=True) + eps)
+    mean, var = mean_var(x, wgt)
+    g_in = jnp.concatenate([mean[:, 0], var[:, 0],
+                            jnp.mean(wgt, axis=1)], -1)
+    geo = seq2("geometry_fc", g_in)
+    r_in = jnp.concatenate([x, vis, ray_diff], -1)
+    h = _elu(r_in @ p["rgb_fc"]["w0"] + p["rgb_fc"]["b0"])
+    h = _elu(h @ p["rgb_fc"]["w1"] + p["rgb_fc"]["b1"])
+    logit = h @ p["rgb_fc"]["w2"] + p["rgb_fc"]["b2"]
+    logit = jnp.where(mask == 0, -1e9, logit)
+    blend = jax.nn.softmax(logit, axis=1)
+    rgb = jnp.sum(rgb_in * blend, axis=1)
+    nvalid = jnp.sum(mask[..., 0], axis=1, keepdims=True)
+    return geo, rgb, nvalid
+
+
+@pytest.mark.parametrize("v", [2, 3])
+def test_pool_flat_matches_nvc_layout(v):
+    """pool_reference's view-major flat layout is numerically identical
+    to the (N, v, c) formulation, including fully-masked rows."""
+    import numpy as np
+    import jax.numpy as jnp
+    from panogrf_tpu.ops.pallas.ibr_pool import pool_reference
+    rng = np.random.default_rng(0)
+    n, f, nd = 64, 35, 32
+    params = {}
+    shapes = {"ray_dir_fc": [(4, 16), (16, f)],
+              "neuray_fc": [(nd, 8), (8, 1)],
+              "base_fc": [(4 * f + f + nd, 64), (64, 32)],
+              "vis_fc": [(32, 32), (32, 33)],
+              "vis_fc2": [(32, 32), (32, 1)],
+              "geometry_fc": [(65, 64), (64, 16)],
+              "rgb_fc": [(32 + 1 + 4, 16), (16, 8), (8, 1)]}
+    for name, dims in shapes.items():
+        params[name] = {}
+        for i, (a, b) in enumerate(dims):
+            params[name][f"w{i}"] = jnp.asarray(
+                rng.normal(0, 0.2, (a, b)), jnp.float32)
+            params[name][f"b{i}"] = jnp.asarray(
+                rng.normal(0, 0.1, (b,)), jnp.float32)
+    rgbf = jnp.asarray(rng.normal(size=(n, v, f)), jnp.float32)
+    nray = jnp.asarray(rng.normal(size=(n, v, nd)), jnp.float32)
+    rdiff = jnp.asarray(rng.normal(size=(n, v, 4)), jnp.float32)
+    mask = jnp.asarray(rng.integers(0, 2, (n, v, 1)), jnp.float32)
+    mask = mask.at[:4].set(0.0)  # some fully-masked rows
+    a = _pool_nvc(rgbf, nray, rdiff, mask, params)
+    b = pool_reference(rgbf, nray, rdiff, mask, params)
+    for x, y in zip(a, b):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   rtol=2e-5, atol=2e-5)

@@ -209,3 +209,50 @@ def test_fast_gather_close_to_exact():
     # worst case (white-noise features); trained maps are smooth.
     assert np.abs(a - b).max() < 0.15, np.abs(a - b).max()
     assert np.abs(a - b).mean() < 0.02, np.abs(a - b).mean()
+
+
+def test_decode_on_map_close_to_fast_gather():
+    """decode_on_map (dist-decoder heads precomputed on the map, stats
+    gathered with the row) stays close to the per-sample-decoder
+    fast_gather path — the only difference is bilinear interpolation of
+    decoded stats instead of decoding interpolated features."""
+    import numpy as np
+    H, W, DH, DW = 32, 64, 16, 32
+    rng_np = np.random.default_rng(0)
+    ref_info = {
+        "imgs": jnp.asarray(rng_np.uniform(size=(2, H, W, 3)), jnp.float32),
+        "mvs_depth": jnp.asarray(rng_np.uniform(1, 5, size=(2, DH, DW, 1)),
+                                 jnp.float32),
+        "depth_range": jnp.asarray([[0.5, 15.0]] * 2),
+        "w2c": jnp.broadcast_to(
+            jnp.concatenate([jnp.eye(3), jnp.zeros((3, 1))], 1),
+            (2, 3, 4)).at[1, 2, 3].set(0.5),
+    }
+    coords = jnp.stack(
+        [jnp.asarray(rng_np.integers(0, W, (1, 16)), jnp.float32),
+         jnp.asarray(rng_np.integers(0, H, (1, 16)), jnp.float32)], -1)
+    c2w = jnp.concatenate([jnp.eye(3), jnp.asarray([[.1], [0.], [.2]])], 1)
+    qdr = jnp.asarray([[0.5, 15.0]])
+    data = {"ref_imgs_info": ref_info,
+            "que_imgs_info": {"coords": coords, "c2w": c2w,
+                              "depth_range": qdr}}
+    from panogrf_tpu.renderer.renderer import NeuralRayGenRenderer as NR
+    kw = dict(height=H, width=W, depth_hw=(DH, DW), depth_sample_num=8,
+              fine_depth_sample_num=8, fast_gather=True)
+    fast = NR(**kw)
+    dmap = NR(**kw, decode_on_map=True)
+    params = jax.jit(fast.init)(jax.random.PRNGKey(0), data)
+    out_f = fast.apply(params, data)
+    out_d = dmap.apply(params, data)
+    a = np.asarray(out_f["pixel_colors_nr_fine"])
+    b = np.asarray(out_d["pixel_colors_nr_fine"])
+    assert np.isfinite(b).all()
+    assert np.abs(a - b).max() < 0.15, np.abs(a - b).max()
+    assert np.abs(a - b).mean() < 0.02, np.abs(a - b).mean()
+    # stride path composes with decode_on_map (stats lerp like features)
+    s4 = NR(**kw, decode_on_map=True, gather_stride=2,
+            gather_depth_major=True)
+    out_s = s4.apply(params, data)
+    c = np.asarray(out_s["pixel_colors_nr_fine"])
+    assert np.isfinite(c).all()
+    assert np.abs(a - c).max() < 0.2, np.abs(a - c).max()

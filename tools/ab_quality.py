@@ -121,8 +121,11 @@ def main():
         params = tr.state.params
         if args.save_ckpt:
             import orbax.checkpoint as ocp
-            ocp.StandardCheckpointer().save(
-                Path(args.save_ckpt).absolute(), params, force=True)
+            ck = ocp.StandardCheckpointer()
+            ck.save(Path(args.save_ckpt).absolute(), params, force=True)
+            # StandardCheckpointer.save is ASYNC: without this the
+            # checkpoint stays a .orbax-checkpoint-tmp dir until exit
+            ck.wait_until_finished()
             print(f"saved params -> {args.save_ckpt}")
 
     mode_cfgs = {
@@ -147,6 +150,17 @@ def main():
                "gather_stride": 4},
         "s8": {"fast_gather": True, "compute_dtype": "bfloat16",
                "gather_stride": 8},
+        # decode-on-map: dist-decoder heads precomputed on the map,
+        # stats gathered with the row (see renderer.decode_on_map)
+        "dmap": {"fast_gather": True, "compute_dtype": "bfloat16",
+                 "gather_stride": 4, "decode_on_map": True},
+        # asymmetric stride: fine samples cluster near surfaces so a
+        # larger fine stride loses less than the same coarse stride
+        "s4f8": {"fast_gather": True, "compute_dtype": "bfloat16",
+                 "gather_stride": 4, "gather_stride_fine": 8},
+        "dmap_s4f8": {"fast_gather": True, "compute_dtype": "bfloat16",
+                      "gather_stride": 4, "gather_stride_fine": 8,
+                      "decode_on_map": True},
         "diner": {"fast_gather": True, "compute_dtype": "bfloat16"},
     }
     scenes = []

@@ -65,6 +65,11 @@ def main():
                          "map rows every S-th sample, lerp in between; "
                          "-0.04 dB at S=4 on the trained-checkpoint A/B; "
                          "--exact or S=1 disables)")
+    ap.add_argument("--decode-on-map", action="store_true",
+                    help="precompute dist-decoder heads on the ray-feat "
+                         "map; per-sample pass gathers 5-ch stats with "
+                         "the row instead of running MLPs (serving-only "
+                         "approximation; A/B mode 'dmap')")
     ap.add_argument("--mono-ckpt", default=None,
                     help="UniFuse checkpoint (orbax dir or torch .pth) — "
                          "enables the composed mono->MVS->renderer "
@@ -105,6 +110,7 @@ def main():
         # strictly faster on TPU; strided gather stays opt-in
         gather_depth_major=not args.exact,
         gather_stride=args.gather_stride if not args.exact else 1,
+        decode_on_map=args.decode_on_map and not args.exact,
         compute_dtype="bfloat16" if args.bf16 else "float32")
 
     out_dir = Path(args.out)
