@@ -53,6 +53,12 @@ class NeuralRayFtRenderer(nn.Module):
     render_uncert: bool = False
     wrap: bool = True
     compute_dtype: str = "float32"
+    # serving knobs read by the borrowed NeuralRayGenRenderer.
+    # render_by_depth (gather row order / epipolar feature interpolation
+    # — see the gen renderer's field docs); defaults = exact numerics.
+    gather_depth_major: bool = False
+    gather_stride: int = 1
+    gather_stride_fine: int = 0
 
     def setup(self):
         fh, fw = self.ray_feats_hw

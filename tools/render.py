@@ -65,6 +65,9 @@ def main():
                          "map rows every S-th sample, lerp in between; "
                          "-0.04 dB at S=4 on the trained-checkpoint A/B; "
                          "--exact or S=1 disables)")
+    ap.add_argument("--gather-stride-fine", type=int, default=0,
+                    help="separate stride for the fine pass "
+                         "(0 = same as --gather-stride)")
     ap.add_argument("--decode-on-map", action="store_true",
                     help="precompute dist-decoder heads on the ray-feat "
                          "map; per-sample pass gathers 5-ch stats with "
@@ -110,6 +113,7 @@ def main():
         # strictly faster on TPU; strided gather stays opt-in
         gather_depth_major=not args.exact,
         gather_stride=args.gather_stride if not args.exact else 1,
+        gather_stride_fine=args.gather_stride_fine if not args.exact else 0,
         decode_on_map=args.decode_on_map and not args.exact,
         compute_dtype="bfloat16" if args.bf16 else "float32")
 
