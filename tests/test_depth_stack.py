@@ -58,6 +58,7 @@ def test_full_stack_shapes(full_stack, scene_sample):
         assert np.all(np.isfinite(v))
 
 
+@pytest.mark.slow
 def test_stack_is_stop_gradiented(full_stack, scene_sample):
     """The stack is frozen: gradients of its output w.r.t. its params are
     exactly zero (reference wraps the nets in no_grad)."""

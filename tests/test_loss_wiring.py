@@ -38,6 +38,7 @@ def _grad_norm(tree):
     return float(sum(jnp.sum(jnp.abs(g)) for g in jax.tree.leaves(tree)))
 
 
+@pytest.mark.slow
 def test_polar_weighted_render_loss_has_grads():
     model = NeuralRayGenRenderer(height=H, width=W, depth_hw=(DH, DW),
                                  depth_sample_num=8,
@@ -60,6 +61,7 @@ def test_polar_weighted_render_loss_has_grads():
     assert _grad_norm(gw) > 0.0
 
 
+@pytest.mark.slow
 def test_self_hit_prob_consistency_loss_has_grads():
     model = NeuralRayGenRenderer(height=H, width=W, depth_hw=(DH, DW),
                                  depth_sample_num=8, fine_depth_sample_num=8,
