@@ -234,6 +234,10 @@ def ibr_pool_op(rgb_feat, neuray_feat, ray_diff, mask, params,
                 use_pallas: bool = True):
     """Differentiable pooled stage; Pallas forward on TPU, jnp elsewhere."""
     if use_pallas and jax.default_backend() == "tpu":
+        v, f = rgb_feat.shape[1], rgb_feat.shape[2]
+        if v == 2 and f == 35 and neuray_feat.shape[-1] == 32:
+            from panogrf_tpu.ops.pallas.ibr_pool2 import ibr_pool2
+            return ibr_pool2(rgb_feat, neuray_feat, ray_diff, mask, params)
         return ibr_pool(rgb_feat, neuray_feat, ray_diff, mask, params)
     return pool_reference(rgb_feat, neuray_feat, ray_diff, mask, params)
 

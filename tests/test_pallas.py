@@ -146,3 +146,41 @@ def test_pool_flat_matches_nvc_layout(v):
     for x, y in zip(a, b):
         np.testing.assert_allclose(np.asarray(x), np.asarray(y),
                                    rtol=2e-5, atol=2e-5)
+
+
+def test_pool2_matches_reference():
+    """ibr_pool2 (one row per sample, views in lane halves, packed
+    block-diagonal weights) matches pool_reference in interpret mode,
+    including fully-masked rows."""
+    import numpy as np
+    import jax.numpy as jnp
+    from panogrf_tpu.ops.pallas.ibr_pool import pool_reference
+    from panogrf_tpu.ops.pallas.ibr_pool2 import ibr_pool2
+    rng = np.random.default_rng(1)
+    n, v, f, nd = 96, 2, 35, 32
+    params = {}
+    shapes = {"ray_dir_fc": [(4, 16), (16, f)],
+              "neuray_fc": [(nd, 8), (8, 1)],
+              "base_fc": [(4 * f + f + nd, 64), (64, 32)],
+              "vis_fc": [(32, 32), (32, 33)],
+              "vis_fc2": [(32, 32), (32, 1)],
+              "geometry_fc": [(65, 64), (64, 16)],
+              "rgb_fc": [(32 + 1 + 4, 16), (16, 8), (8, 1)]}
+    for name, dims in shapes.items():
+        params[name] = {}
+        for i, (a, b) in enumerate(dims):
+            params[name][f"w{i}"] = jnp.asarray(
+                rng.normal(0, 0.2, (a, b)), jnp.float32)
+            params[name][f"b{i}"] = jnp.asarray(
+                rng.normal(0, 0.1, (b,)), jnp.float32)
+    rgbf = jnp.asarray(rng.normal(size=(n, v, f)), jnp.float32)
+    nray = jnp.asarray(rng.normal(size=(n, v, nd)), jnp.float32)
+    rdiff = jnp.asarray(rng.normal(size=(n, v, 4)), jnp.float32)
+    mask = jnp.asarray(rng.integers(0, 2, (n, v, 1)), jnp.float32)
+    mask = mask.at[:4].set(0.0)
+    a = pool_reference(rgbf, nray, rdiff, mask, params)
+    b = ibr_pool2(rgbf, nray, rdiff, mask, params, block_rows=32,
+                  interpret=True)
+    for x, y in zip(a, b):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   rtol=3e-5, atol=3e-5)
