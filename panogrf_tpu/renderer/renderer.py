@@ -211,9 +211,18 @@ class NeuralRayGenRenderer(nn.Module):
             out["merged_full"] = jnp.concatenate(parts, axis=-1)
         if self.light_coarse:
             # decode the coarse mixture heads ONCE on the ray-feature map
-            # (float32: the CDF math downstream is float32 anyway)
-            mean, var, vis, aw = self.dist_decoder(
-                ray_feats.astype(jnp.float32))
+            # (float32: the CDF math downstream is float32 anyway).
+            # With fast_gather the full-res upsampled map is available —
+            # decode THAT (same map the per-sample path interpolates);
+            # the round-2 light_coarse decoded the 1/4-res native map.
+            if self.fast_gather:
+                nd = out["ray_feats"].shape[-1]
+                src = resize_linear(
+                    out["merged_feats"][..., :nd],
+                    ref_imgs.shape[1:3], axes=(1, 2)).astype(jnp.float32)
+            else:
+                src = ray_feats.astype(jnp.float32)
+            mean, var, vis, aw = self.dist_decoder(src)
             parts = [mean, var, aw] + ([vis] if vis is not None else [])
             out["stats_coarse"] = jnp.concatenate(parts, axis=-1)
         return out

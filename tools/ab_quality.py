@@ -163,6 +163,9 @@ def main():
                       "decode_on_map": True},
         "diner": {"fast_gather": True, "compute_dtype": "bfloat16"},
     }
+    # NOTE: 'light_coarse' now decodes the FULL-res upsampled map under
+    # fast_gather (renderer.prepare_ref); the recorded -6.9 dB was the
+    # 1/4-res variant — re-run before citing.
     scenes = []
     for i in range(args.num):
         s = make_three_view_sample(SphereScene.random(9000 + i), H, W,
