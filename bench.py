@@ -55,15 +55,18 @@ def main():
                     help="fetch merged-map rows at every S-th depth sample "
                          "and interpolate in between (epipolar feature "
                          "interpolation; quality A/B in tools/ab_quality)")
-    ap.add_argument("--gather-stride-fine", type=int, default=0,
+    # fine samples are importance-resampled around surfaces, so stride-8
+    # there measured -0.001 dB over stride-4 (AB_QUALITY_r3.json
+    # "dmap_s4f8" vs "dmap") -> serving default.
+    ap.add_argument("--gather-stride-fine", type=int, default=8,
                     help="separate stride for the fine pass "
                          "(0 = same as --gather-stride)")
-    ap.add_argument("--decode-on-map", action="store_true",
-                    help="precompute the dist-decoder heads on the ray-"
-                         "feature map (prepare_ref) and gather the 5-ch "
-                         "stats with the row instead of running per-"
-                         "sample MLPs (quality A/B: tools/ab_quality "
-                         "mode 'dmap')")
+    # decode-on-map measured -0.03 dB on the trained-checkpoint A/B
+    # ("dmap") and removes the per-sample MLP chain -> serving default.
+    ap.add_argument("--no-decode-on-map", dest="decode_on_map",
+                    action="store_false", default=True,
+                    help="disable decode-on-map (per-sample dist-decoder "
+                         "MLPs instead of stats gathered with the row)")
     ap.add_argument("--pallas-agg", action="store_true",
                     help="IBR pooled stage via the fused Pallas kernel")
     ap.add_argument("--with-depth-stack", action="store_true",

@@ -179,7 +179,7 @@ class Trainer:
         return last_metrics
 
 
-def load_checkpoint_params(path):
+def load_checkpoint_params(path, target=None):
     """Load renderer params from any of our checkpoint layouts.
 
     Accepts the round-1 params-only checkpoints, the full trainer
@@ -189,6 +189,10 @@ def load_checkpoint_params(path):
     network_state_dict, optimizer_state_dict}, reference
     ``train/trainer.py:452-459``), converted through
     ``utils/torch_convert.convert_renderer``.
+
+    :param target: optional params tree of matching structure.  Needed
+        when restoring a checkpoint written under a different backend
+        (orbax can only infer shardings for the backend that wrote it).
     """
     import orbax.checkpoint as ocp
     from pathlib import Path
@@ -204,9 +208,23 @@ def load_checkpoint_params(path):
               if hasattr(v, "shape")}
         return tc.convert_renderer(sd)
     try:
-        raw = ocp.StandardCheckpointer().restore(path)
+        raw = ocp.StandardCheckpointer().restore(
+            path, *( [target] if target is not None else [] ))
     except Exception:
-        raw = ocp.PyTreeCheckpointer().restore(str(path))
+        try:
+            raw = ocp.PyTreeCheckpointer().restore(str(path))
+        except Exception:
+            if target is None:
+                raise
+            # cross-backend restore without metadata shardings: read
+            # raw arrays via the abstract target tree
+            import jax
+            import numpy as np
+            abstract = jax.tree.map(
+                lambda x: ocp.utils.to_shape_dtype_struct(x)
+                if hasattr(ocp.utils, "to_shape_dtype_struct")
+                else jax.ShapeDtypeStruct(np.shape(x), x.dtype), target)
+            raw = ocp.StandardCheckpointer().restore(path, abstract)
     if isinstance(raw, dict) and "state" in raw:
         return raw["state"]["params"]
     return raw

@@ -95,7 +95,7 @@ def main():
     params = jax.jit(base.init)(jax.random.PRNGKey(0), data0)
     if args.ckpt:
         from panogrf_tpu.train.trainer import load_checkpoint_params
-        params = load_checkpoint_params(args.ckpt)
+        params = load_checkpoint_params(args.ckpt, target=params)
         print(f"restored {args.ckpt}")
     else:
         from panogrf_tpu.train.trainer import Trainer, TrainerConfig

@@ -65,14 +65,15 @@ def main():
                          "map rows every S-th sample, lerp in between; "
                          "-0.04 dB at S=4 on the trained-checkpoint A/B; "
                          "--exact or S=1 disables)")
-    ap.add_argument("--gather-stride-fine", type=int, default=0,
-                    help="separate stride for the fine pass "
-                         "(0 = same as --gather-stride)")
-    ap.add_argument("--decode-on-map", action="store_true",
-                    help="precompute dist-decoder heads on the ray-feat "
-                         "map; per-sample pass gathers 5-ch stats with "
-                         "the row instead of running MLPs (serving-only "
-                         "approximation; A/B mode 'dmap')")
+    ap.add_argument("--gather-stride-fine", type=int, default=8,
+                    help="separate stride for the fine pass (0 = same "
+                         "as --gather-stride; default 8: -0.001 dB over "
+                         "stride-4 on the trained-checkpoint A/B)")
+    ap.add_argument("--no-decode-on-map", dest="decode_on_map",
+                    action="store_false", default=True,
+                    help="disable decode-on-map (default on: dist-"
+                         "decoder heads precomputed on the map, -0.03 dB "
+                         "on the A/B; --exact also disables)")
     ap.add_argument("--mono-ckpt", default=None,
                     help="UniFuse checkpoint (orbax dir or torch .pth) — "
                          "enables the composed mono->MVS->renderer "
