@@ -140,6 +140,48 @@ def main():
     if want("agg"):
         res["agg_net_ms"] = timeit_chain(g_agg, prj, iters=4, name="agg_net_ms")
 
+    if want("pool"):
+        # pooled stage in isolation: XLA reference vs the Pallas v2
+        # sample-row kernel (ops/pallas/ibr_pool2.py)
+        from panogrf_tpu.ops.pallas.ibr_pool import (ibr_pool_op,
+                                                     pool_reference)
+        n = rn * dn
+        prng = np.random.default_rng(1)
+        pool_params = {}
+        pshapes = {"ray_dir_fc": [(4, 16), (16, 35)],
+                   "neuray_fc": [(32, 8), (8, 1)],
+                   "base_fc": [(4 * 35 + 35 + 32, 64), (64, 32)],
+                   "vis_fc": [(32, 32), (32, 33)],
+                   "vis_fc2": [(32, 32), (32, 1)],
+                   "geometry_fc": [(65, 64), (64, 16)],
+                   "rgb_fc": [(37, 16), (16, 8), (8, 1)]}
+        for nm, dims in pshapes.items():
+            pool_params[nm] = {}
+            for i, (a, b) in enumerate(dims):
+                pool_params[nm][f"w{i}"] = jnp.asarray(
+                    prng.normal(0, 0.2, (a, b)), dt)
+                pool_params[nm][f"b{i}"] = jnp.asarray(
+                    prng.normal(0, 0.1, (b,)), dt)
+        rgbf0 = jnp.asarray(prng.normal(size=(n, 2, 35)), dt)
+        nray0 = jnp.asarray(prng.normal(size=(n, 2, 32)), dt)
+        rdif0 = jnp.asarray(prng.normal(size=(n, 2, 4)), dt)
+        mask0 = jnp.ones((n, 2, 1), dt)
+
+        def mk(use_pallas):
+            def g(rgbf):
+                geo, rgb, nv = ibr_pool_op(rgbf, nray0, rdif0, mask0,
+                                           pool_params, use_pallas)
+                upd = geo[..., :1] + rgb[..., :1]
+                return rgbf + (1e-6 * upd[:, None]).astype(rgbf.dtype)
+            return g
+
+        res["pool_xla_ms"] = timeit_chain(mk(False), rgbf0, iters=4,
+                                          name="pool_xla_ms")
+        if jax.default_backend() == "tpu":
+            res["pool_pallas2_ms"] = timeit_chain(mk(True), rgbf0,
+                                                  iters=4,
+                                                  name="pool_pallas2_ms")
+
     # --- projection math ----------------------------------------------------
     w2c = jnp.broadcast_to(
         jnp.concatenate([jnp.eye(3), jnp.zeros((3, 1))], 1), (rfn, 3, 4))
