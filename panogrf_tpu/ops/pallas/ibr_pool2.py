@@ -15,8 +15,10 @@ on twice the rows.
 
 Inputs (built by :func:`pack_inputs` from the (N, v, c) layout):
   XA (N, 128): [0:35 rgb_feat v0][64:99 rgb_feat v1]
-  XB (N, 128): [0:32 neuray v0][32:36 ray_diff v0][36:37 mask v0]
-               [64:96 neuray v1][96:100 ray_diff v1][100:101 mask v1]
+  XB (N, 128): [0:32 neuray v0][33:37 ray_diff v0][37:38 mask v0]
+               [64:96 neuray v1][97:101 ray_diff v1][101:102 mask v1]
+  (ray_diff sits at lane 33 so the rgb-head input row
+   [x 0:32 | vis 32 | ray_diff 33:37] needs no in-kernel lane shift.)
 Output (N, 128): [0:16 geo][16:19 rgb][19 num_valid].
 
 Numerics mirror :func:`ibr_pool.pool_reference` exactly (same math,
@@ -71,8 +73,8 @@ def _kernel(xa_ref, xb_ref,
     def halves(t):
         return t[:, :HALF], t[:, HALF:]
 
-    m0 = xb[:, 36:37]                                # (B, 1)
-    m1 = xb[:, 100:101]
+    m0 = xb[:, 37:38]                                # (B, 1)
+    m1 = xb[:, 101:102]
     msum = m0 + m1 + eps
     wt0, wt1 = m0 / msum, m1 / msum
 
@@ -133,21 +135,17 @@ def _kernel(xa_ref, xb_ref,
              + wmean * gs_row[:] + bgeo[:])          # (B, 128), 0:64 real
     geo = _elu(_dot(g, wgw2[:]) + bgw2[:])           # 0:16 real
 
-    # step 11: rgb blend head
-    rdm = _lane_mask(xb.shape, 32, 36) | _lane_mask(xb.shape, 96, 100)
+    # step 11: rgb blend head — rin = [x 0:32 | vis 32 | rdiff 33:37]/half
+    rdm = _lane_mask(xb.shape, 33, 37) | _lane_mask(xb.shape, 97, 101)
     rin = jnp.where(_lane_mask(x.shape, 0, 32)
                     | _lane_mask(x.shape, HALF, HALF + 32), x, 0.0)
-    # lane 32/96 carries the FINAL vis (post vis_fc2), lanes 33:37 /
-    # 97:101 carry ray_diff
     visf_b = jnp.concatenate(
         [jnp.broadcast_to(vis0, (vis0.shape[0], HALF)),
          jnp.broadcast_to(vis1, (vis1.shape[0], HALF))], 1)
     rin = rin + visf_b * _lane_mask(x.shape, 32, 33).astype(jnp.float32) \
         + visf_b * _lane_mask(x.shape, HALF + 32, HALF + 33).astype(
             jnp.float32)
-    rdshift = jnp.where(rdm, xb, 0.0)
-    # move rdiff from XB lanes 32:36 -> rin lanes 33:37 (shift by 1 lane)
-    rin = rin + jnp.pad(rdshift, ((0, 0), (1, 0)))[:, :LANES]
+    rin = rin + jnp.where(rdm, xb, 0.0)      # rdiff already at 33:37
     hh = _elu(_dot(rin, wh1[:]) + bh1[:])
     hh = _elu(_dot(hh, wh2[:]) + bh2[:])
     hl = _dot(hh, wh3[:]) + bh3[:]                   # [0 logit]/half
@@ -201,9 +199,10 @@ def pack_inputs(rgb_feat: Array, neuray_feat: Array, ray_diff: Array,
     dt = rgb_feat.dtype
 
     def half(i):
-        parts = [neuray_feat[:, i], ray_diff[:, i].astype(dt),
-                 mask[:, i].astype(dt)]
-        row = jnp.concatenate(parts, axis=-1)        # (N, 37)
+        zero = jnp.zeros((n, 1), dt)                 # lane 32 spacer so
+        parts = [neuray_feat[:, i], zero,            # rdiff lands at 33:37
+                 ray_diff[:, i].astype(dt), mask[:, i].astype(dt)]
+        row = jnp.concatenate(parts, axis=-1)        # (N, 38)
         return jnp.pad(row, ((0, 0), (0, HALF - row.shape[-1])))
 
     xb = jnp.concatenate([half(0), half(1)], axis=-1)
@@ -240,8 +239,8 @@ def build_weights(params: dict, dtype=jnp.float32) -> list:
     rw2, rb2 = g("rgb_fc", 1)
     rw3, rb3 = g("rgb_fc", 2)
 
-    # W1: XB -> [dirh1 0:16 | nh 16:24] per half
-    w1 = (_block2(dw1, 32, 0) + _block2(nw1, 0, 16))
+    # W1: XB -> [dirh1 0:16 | nh 16:24] per half (rdiff rows at 33:37)
+    w1 = (_block2(dw1, 33, 0) + _block2(nw1, 0, 16))
     b1 = _brow2(jnp.concatenate([db1, nb1]), 0)
     # W2: y1 -> [dirh2 0:35 | w0logit 35] per half
     w2 = (_block2(dw2, 0, 0) + _block2(nw2, 16, F))
