@@ -121,3 +121,47 @@ def test_sharded_train_step_2d_mesh_matches_single(eight_devices):
     a = jax.tree.leaves(p1)[0]
     b = jax.tree.leaves(p2)[0]
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_sharded_render_serving_flags_matches_single(eight_devices):
+    """The serving fast path (fast_gather + decode_on_map + depth-major +
+    asymmetric stride) composes with ray-axis sharding: sharded render ==
+    single-device render."""
+    rng = np.random.default_rng(3)
+    model = NeuralRayGenRenderer(
+        height=H, width=W, depth_hw=(DH, DW),
+        depth_sample_num=8, fine_depth_sample_num=8,
+        fast_gather=True, decode_on_map=True,
+        gather_depth_major=True, gather_stride=2, gather_stride_fine=4)
+    ref_info = {
+        "imgs": jnp.asarray(rng.uniform(size=(2, H, W, 3)), jnp.float32),
+        "mvs_depth": jnp.asarray(rng.uniform(1, 5, size=(2, DH, DW, 1)),
+                                 jnp.float32),
+        "depth_range": jnp.asarray([[0.5, 15.0]] * 2),
+        "w2c": jnp.broadcast_to(
+            jnp.concatenate([jnp.eye(3), jnp.zeros((3, 1))], 1),
+            (2, 3, 4)).at[1, 2, 3].set(0.3),
+    }
+    data = {"ref_imgs_info": ref_info,
+            "que_imgs_info": {"coords": jnp.zeros((1, 8, 2)),
+                              "c2w": jnp.concatenate(
+                                  [jnp.eye(3),
+                                   jnp.asarray([[0.], [0.], [.1]])], 1),
+                              "depth_range": jnp.asarray([[0.5, 15.0]])}}
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), data)
+    ref_data = model.apply(params, ref_info["imgs"], ref_info["mvs_depth"],
+                           method=NeuralRayGenRenderer.prepare_ref)
+    ref_data["w2c"] = ref_info["w2c"]
+
+    mesh = make_mesh(8, data=1)
+    rgb_sharded = render_image_sharded(
+        model, params, ref_data, data["que_imgs_info"]["c2w"],
+        data["que_imgs_info"]["depth_range"],
+        data["ref_imgs_info"]["depth_range"], mesh)
+    from panogrf_tpu.renderer.full_render import render_image_device
+    rgb_single = jax.jit(lambda: render_image_device(
+        model, params, ref_data, data["que_imgs_info"]["c2w"],
+        data["que_imgs_info"]["depth_range"],
+        data["ref_imgs_info"]["depth_range"], chunk=H * W))()
+    np.testing.assert_allclose(np.asarray(rgb_sharded),
+                               np.asarray(rgb_single), atol=2e-3)
