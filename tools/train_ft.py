@@ -25,6 +25,10 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 def main():
     ap = argparse.ArgumentParser()
+    ap.add_argument("--cfg", default=None,
+                    help="ft recipe yaml (configs/ft/..., mirrors the "
+                         "reference configs/train/ft_hr_1.0 family); "
+                         "explicitly given CLI flags win")
     ap.add_argument("--gen-ckpt", default=None)
     ap.add_argument("--steps", type=int, default=200)
     ap.add_argument("--height", type=int, default=256)
@@ -51,6 +55,24 @@ def main():
     import jax
     import jax.numpy as jnp
     import optax
+
+    if args.cfg:
+        # recipe yaml supplies the defaults; explicitly given CLI flags win
+        import sys as _sys
+        from panogrf_tpu.config import load_config
+        cfg = load_config(args.cfg)
+        given = {a.split("=")[0].lstrip("-").replace("-", "_")
+                 for a in _sys.argv[1:] if a.startswith("--")}
+        for flag, val in [
+                ("height", cfg.data.height), ("width", cfg.data.width),
+                ("depth_height", cfg.mvs.depth_height),
+                ("depth_width", cfg.mvs.depth_width),
+                ("m3d_dist", cfg.data.m3d_dist),
+                ("lr", cfg.train.lr_init),
+                ("steps", cfg.train.total_step),
+                ("name", cfg.train.name)]:
+            if flag not in given:
+                setattr(args, flag, val)
 
     from panogrf_tpu.data import imgs_info
     from panogrf_tpu.data.synthetic import (SphereScene,
