@@ -49,7 +49,13 @@ def main():
     ap.add_argument("--only", default="",
                     help="comma-separated stage substrings to run")
     ap.add_argument("--fast-gather", action="store_true")
+    ap.add_argument("--serving", action="store_true",
+                    help="coarse pass at the serving operating point "
+                         "(fast_gather + depth-major + stride 4 + "
+                         "decode-on-map)")
     args = ap.parse_args()
+    if args.serving:
+        args.fast_gather = True
     only = [s for s in args.only.split(",") if s]
 
     def want(name):
@@ -217,6 +223,9 @@ def main():
     model = NeuralRayGenRenderer(height=H, width=W,
                                  compute_dtype=args.dtype,
                                  fast_gather=args.fast_gather,
+                                 gather_depth_major=args.serving,
+                                 gather_stride=4 if args.serving else 1,
+                                 decode_on_map=args.serving,
                                  use_hierarchical_sampling=False)
     ref_info = {
         "imgs": jnp.asarray(rng.uniform(size=(rfn, H, W, 3)), jnp.float32),
