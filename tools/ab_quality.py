@@ -161,6 +161,15 @@ def main():
         "dmap_s4f8": {"fast_gather": True, "compute_dtype": "bfloat16",
                       "gather_stride": 4, "gather_stride_fine": 8,
                       "decode_on_map": True},
+        # serving renders ONLY the fine pass — the coarse pass just
+        # places fine samples — so a coarser COARSE stride may be near
+        # free while fine stride touches final colors directly
+        "dmap_s8f8": {"fast_gather": True, "compute_dtype": "bfloat16",
+                      "gather_stride": 8, "gather_stride_fine": 8,
+                      "decode_on_map": True},
+        "dmap_s8f4": {"fast_gather": True, "compute_dtype": "bfloat16",
+                      "gather_stride": 8, "gather_stride_fine": 4,
+                      "decode_on_map": True},
         "diner": {"fast_gather": True, "compute_dtype": "bfloat16"},
     }
     # NOTE: 'light_coarse' now decodes the FULL-res upsampled map under
