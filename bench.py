@@ -55,10 +55,10 @@ def main():
                     help="fetch merged-map rows at every S-th depth sample "
                          "and interpolate in between (epipolar feature "
                          "interpolation; quality A/B in tools/ab_quality)")
-    # fine samples are importance-resampled around surfaces, so stride-8
-    # there measured -0.001 dB over stride-4 (AB_QUALITY_r3.json
-    # "dmap_s4f8" vs "dmap") -> serving default.
-    ap.add_argument("--gather-stride-fine", type=int, default=8,
+    # fine samples are importance-resampled around surfaces, so fine
+    # stride is nearly free: f8 -0.001 dB vs f4, f16 +-0 dB, f32
+    # -0.24 dB (AB_QUALITY_r3.json dmap_s4f* family) -> default 16.
+    ap.add_argument("--gather-stride-fine", type=int, default=16,
                     help="separate stride for the fine pass "
                          "(0 = same as --gather-stride)")
     # decode-on-map measured -0.03 dB on the trained-checkpoint A/B

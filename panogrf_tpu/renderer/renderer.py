@@ -255,6 +255,9 @@ class NeuralRayGenRenderer(nn.Module):
         dt = jnp.dtype(self.compute_dtype)
         stride = (self.gather_stride_fine or self.gather_stride) \
             if is_fine else self.gather_stride
+        # stride > dn would collapse every ray to ONE fetched row
+        # (constant features along the ray) — clamp for small debug dn
+        stride = max(1, min(stride, que_depth.shape[-1] // 2))
         prj = ro.project_points_dict(ref_data, que_pts, conv,
                                      que_dir=que_dir.astype(dt),
                                      depth_major=self.gather_depth_major,

@@ -170,6 +170,12 @@ def main():
         "dmap_s8f4": {"fast_gather": True, "compute_dtype": "bfloat16",
                       "gather_stride": 8, "gather_stride_fine": 4,
                       "decode_on_map": True},
+        "dmap_s4f16": {"fast_gather": True, "compute_dtype": "bfloat16",
+                       "gather_stride": 4, "gather_stride_fine": 16,
+                       "decode_on_map": True},
+        "dmap_s4f32": {"fast_gather": True, "compute_dtype": "bfloat16",
+                       "gather_stride": 4, "gather_stride_fine": 32,
+                       "decode_on_map": True},
         "diner": {"fast_gather": True, "compute_dtype": "bfloat16"},
     }
     # NOTE: 'light_coarse' now decodes the FULL-res upsampled map under
