@@ -52,7 +52,13 @@ def _sig(x):
 
 
 def _dot(a, b):
-    return jnp.dot(a, b, preferred_element_type=jnp.float32)
+    # Matmul operands stay in the WEIGHT dtype (= the caller's compute
+    # dtype): on the serving bf16 path this keeps the MXU in its native
+    # bf16 mode (~4x the f32 rate) while `preferred_element_type` keeps
+    # f32 accumulation; with f32 weights (the parity tests) the cast is
+    # a no-op and results are bit-identical to the f32 formulation.
+    return jnp.dot(a.astype(b.dtype), b,
+                   preferred_element_type=jnp.float32)
 
 
 def _lane_mask(shape, lo, hi):
@@ -310,7 +316,9 @@ def ibr_pool2(rgb_feat: Array, neuray_feat: Array, ray_diff: Array,
     n_p = (n + block_rows - 1) // block_rows * block_rows
     xa = jnp.pad(xa, ((0, n_p - n), (0, 0)))
     xb = jnp.pad(xb, ((0, n_p - n), (0, 0)))
-    weights = build_weights(params)
+    # weights in the caller's compute dtype — bf16 weights put the
+    # kernel's matmuls in the MXU's fast bf16 mode (see _dot)
+    weights = build_weights(params, dtype=rgb_feat.dtype)
 
     def big(arr):
         return pl.BlockSpec((block_rows, LANES), lambda i: (i, 0),

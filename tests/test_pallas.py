@@ -184,3 +184,18 @@ def test_pool2_matches_reference():
     for x, y in zip(a, b):
         np.testing.assert_allclose(np.asarray(x), np.asarray(y),
                                    rtol=3e-5, atol=3e-5)
+
+    # serving path: bf16 operands (weights/inputs in bf16, f32 accumulation
+    # inside the kernel) must track the bf16 XLA reference — the kernel's
+    # per-matmul f32 accumulators make it slightly MORE precise, so compare
+    # both against the f32 truth with a bf16-scale tolerance.
+    bf = jnp.bfloat16
+    params_bf = {k: {kk: vv.astype(bf) for kk, vv in v.items()}
+                 for k, v in params.items()}
+    b16 = ibr_pool2(rgbf.astype(bf), nray.astype(bf), rdiff.astype(bf),
+                    mask.astype(bf), params_bf, block_rows=32,
+                    interpret=True)
+    for x, y in zip(a, b16):
+        err = np.abs(np.asarray(x) - np.asarray(y, np.float32))
+        scale = np.abs(np.asarray(x)).mean() + 1e-3
+        assert err.mean() / scale < 0.05, (err.mean(), scale)
