@@ -146,6 +146,34 @@ def main():
     if want("agg"):
         res["agg_net_ms"] = timeit_chain(g_agg, prj, iters=4, name="agg_net_ms")
 
+    if want("attn"):
+        # ray attention + sigma head in isolation (the post-pool part of
+        # IBRNetWithNeuRay): input (nr, dn, 16) pooled geometry features
+        from panogrf_tpu.renderer.agg_net import (MultiHeadAttention, _Seq,
+                                                  sinusoid_pos_encoding)
+        import flax.linen as fnn
+
+        class _AttnTail(fnn.Module):
+            @fnn.compact
+            def __call__(self, geo):
+                pos = jnp.asarray(sinusoid_pos_encoding(dn, 16)).astype(
+                    geo.dtype)
+                g = MultiHeadAttention(name="ray_attention")(
+                    geo + pos[None], geo + pos[None], geo + pos[None])
+                return _Seq((16, 1), final_act="relu",
+                            name="out_geometry_fc")(g)
+
+        tail = _AttnTail()
+        geo0 = jnp.asarray(rng.normal(size=(rn, dn, 16)) * 0.3, dt)
+        tvars = tail.init(jax.random.PRNGKey(0), geo0)
+
+        def g_attn(geo):
+            s = tail.apply(tvars, geo)
+            return geo + (1e-6 * s).astype(geo.dtype)
+
+        res["attn_tail_ms"] = timeit_chain(g_attn, geo0, iters=8,
+                                           name="attn_tail_ms")
+
     if want("pool"):
         # pooled stage in isolation: XLA reference vs the Pallas v2
         # sample-row kernel (ops/pallas/ibr_pool2.py)
