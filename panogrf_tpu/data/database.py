@@ -32,20 +32,34 @@ def cube_intrinsics(width: int) -> np.ndarray:
     return np.asarray([[f, 0, cx], [0, f, cy], [0, 0, 1]], np.float32)
 
 
-# Camera-frame rotations of the 6 cube faces [F R B L U D] relative to the
-# pano camera, matching the py360convert layout in core/cubemap.py.
 def cube_face_rotations() -> np.ndarray:
-    def roty(a):
-        c, s = math.cos(a), math.sin(a)
-        return np.asarray([[c, 0, s], [0, 1, 0], [-s, 0, c]], np.float64)
+    """Camera-frame rotations of the 6 cube faces [F R B L U D] relative to
+    the pano camera, EXACTLY matching the py360convert face layout of
+    ``core/cubemap._e2c_grid`` so that a perspective render with
+    ``R_face @ K^-1 [u, v, 1]`` rays reproduces ``equi_to_cube`` faces
+    pixel-for-pixel (up to the sub-pixel focal-grid difference).
 
-    def rotx(a):
-        c, s = math.cos(a), math.sin(a)
-        return np.asarray([[1, 0, 0], [0, c, -s], [0, s, c]], np.float64)
-
-    faces = [roty(0), roty(-math.pi / 2), roty(math.pi),
-             roty(math.pi / 2), rotx(math.pi / 2), rotx(-math.pi / 2)]
-    return np.stack(faces).astype(np.float32)
+    Derivation: each e2c face is the plane ``xyz = C + col*Du + row*Dv`` in
+    the py360convert sphere frame (lon = atan2(x, z), lat up = +y); the m3d
+    pano camera frame is that frame with x negated (m3d ``theta = fx*2pi -
+    pi/2``, see ``core/sphere._m3d_*``).  A pinhole face camera maps
+    ``u+ -> col+``, ``v+ -> row+``, ``z -> face axis``, so the rotation's
+    columns are [flip(Du), flip(Dv), flip(C-hat)] with flip = diag(-1,1,1).
+    The previous roty/rotx table was 180-deg rotated per face — stitching
+    those renders with ``cube_to_equi`` produced upside-down panos.
+    """
+    faces = np.asarray([
+        # x_face          y_face          z_face (optical axis)
+        [[-1, 0, 0], [0, -1, 0], [0, 0, 1]],    # F  (z = +0.5)
+        [[0, 0, -1], [0, -1, 0], [-1, 0, 0]],   # R  (x = +0.5)
+        [[1, 0, 0], [0, -1, 0], [0, 0, -1]],    # B  (z = -0.5)
+        [[0, 0, 1], [0, -1, 0], [1, 0, 0]],     # L  (x = -0.5)
+        [[-1, 0, 0], [0, 0, 1], [0, 1, 0]],     # U  (y = +0.5)
+        [[-1, 0, 0], [0, 0, -1], [0, -1, 0]],   # D  (y = -0.5)
+    ], np.float64)
+    # columns are the face-frame basis images: transpose the row triplets
+    return np.ascontiguousarray(np.swapaxes(faces, -1, -2)) \
+        .astype(np.float32)
 
 
 @dataclasses.dataclass

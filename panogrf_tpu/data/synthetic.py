@@ -104,6 +104,36 @@ def render_panorama(scene: SphereScene, cam_pos: Array, cam_rot: Array,
               jnp.asarray(cam_rot, jnp.float32))
 
 
+def trace_rays(scene, cam_pos: Array, dirs_w: Array) -> tuple:
+    """Trace unit world-frame rays against the scene.
+
+    :param dirs_w: (H, W, 3) unit directions in world frame.
+    :return: (rgb (H, W, 3), distance (H, W)) — euclidean hit distance.
+    """
+    ts = jax.vmap(lambda c, r: _ray_sphere(cam_pos, dirs_w, c, r))(
+        scene.centers, scene.radii)                     # (N, H, W)
+    t_room = _ray_sphere(cam_pos, dirs_w, jnp.zeros(3),
+                         jnp.asarray(scene.room_radius))
+    all_t = jnp.concatenate([ts, t_room[None]], axis=0)
+    idx = jnp.argmin(all_t, axis=0)                     # (H, W)
+    t = jnp.min(all_t, axis=0)
+
+    hit_pts = cam_pos + dirs_w * t[..., None]
+    # colors: sphere flat color shaded by normal·light; room textured.
+    normals = (hit_pts[None] - scene.centers[:, None, None]) \
+        / scene.radii[:, None, None, None]
+    light = jnp.asarray([0.4, 0.8, 0.45])
+    light = light / jnp.linalg.norm(light)
+    shade = 0.55 + 0.45 * jnp.clip(
+        jnp.einsum("nhwi,i->nhw", normals, light), 0.0, 1.0)
+    obj_rgb = scene.colors[:, None, None, :] * shade[..., None]
+    room_rgb = _room_texture(dirs_w)
+    all_rgb = jnp.concatenate([obj_rgb, room_rgb[None]], axis=0)
+    rgb = jnp.take_along_axis(
+        all_rgb, idx[None, ..., None].repeat(3, -1), axis=0)[0]
+    return rgb, t
+
+
 def _render_impl(scene, cam_pos: Array, cam_rot: Array,
                  height: int, width: int,
                  convention: SphereConvention | str = "m3d") -> tuple:
@@ -117,30 +147,61 @@ def _render_impl(scene, cam_pos: Array, cam_rot: Array,
         else convention
     dirs_cam = conv.ray_directions(height, width)
     dirs_w = jnp.einsum("ij,hwj->hwi", cam_rot, dirs_cam)
-
-    ts = jax.vmap(lambda c, r: _ray_sphere(cam_pos, dirs_w, c, r))(
-        scene.centers, scene.radii)                     # (N, H, W)
-    t_room = _ray_sphere(cam_pos, dirs_w, jnp.zeros(3),
-                         jnp.asarray(scene.room_radius))
-    all_t = jnp.concatenate([ts, t_room[None]], axis=0)
-    idx = jnp.argmin(all_t, axis=0)                     # (H, W)
-    t = jnp.min(all_t, axis=0)
-
-    hit_pts = cam_pos + dirs_w * t[..., None]
-    # colors: sphere flat color shaded by normal·light; room textured.
-    n_obj = scene.centers.shape[0]
-    normals = (hit_pts[None] - scene.centers[:, None, None]) \
-        / scene.radii[:, None, None, None]
-    light = jnp.asarray([0.4, 0.8, 0.45])
-    light = light / jnp.linalg.norm(light)
-    shade = 0.55 + 0.45 * jnp.clip(
-        jnp.einsum("nhwi,i->nhw", normals, light), 0.0, 1.0)
-    obj_rgb = scene.colors[:, None, None, :] * shade[..., None]
-    room_rgb = _room_texture(dirs_w)
-    all_rgb = jnp.concatenate([obj_rgb, room_rgb[None]], axis=0)
-    rgb = jnp.take_along_axis(
-        all_rgb, idx[None, ..., None].repeat(3, -1), axis=0)[0]
+    rgb, t = trace_rays(scene, cam_pos, dirs_w)
     return rgb, t[..., None]
+
+
+@functools.lru_cache(maxsize=8)
+def _render_cube_jit(face_w: int):
+    from panogrf_tpu.data.database import (cube_face_rotations,
+                                           cube_intrinsics)
+    k_inv = np.linalg.inv(cube_intrinsics(face_w))
+    # integer pixel coords (align-corners grid, cx = (w-1)/2 like the
+    # reference cube cameras, ``dataset/database.py:99-108``)
+    u, v = np.meshgrid(np.arange(face_w, dtype=np.float32),
+                       np.arange(face_w, dtype=np.float32))
+    hom = np.stack([u, v, np.ones_like(u)], axis=-1)     # (fw, fw, 3)
+    dirs_face = np.einsum("ij,hwj->hwi", k_inv, hom)
+    dirs_face /= np.linalg.norm(dirs_face, axis=-1, keepdims=True)
+    face_r = cube_face_rotations()                        # x_cam = R_f x_face
+    dirs_cam = np.einsum("fij,hwj->fhwi", face_r, dirs_face)
+    dirs_cam_j = jnp.asarray(dirs_cam, jnp.float32)       # (6, fw, fw, 3)
+    dz = jnp.asarray(dirs_face[..., 2:3], jnp.float32)    # cos to face axis
+
+    def run(centers, radii, colors, room_radius, cam_pos, cam_rot):
+        class _S:
+            pass
+        s = _S()
+        s.centers, s.radii, s.colors = centers, radii, colors
+        s.room_radius = room_radius
+        dirs_w = jnp.einsum("ij,fhwj->fhwi", cam_rot, dirs_cam_j)
+        rgb, t = jax.vmap(lambda d: trace_rays(s, cam_pos, d))(dirs_w)
+        # z-depth = distance along the face optical axis (what habitat's
+        # perspective depth sensor records and the LMDB stores for
+        # ``depth_cubes``)
+        zdepth = t[..., None] * dz[None]
+        return rgb, zdepth
+
+    return jax.jit(run)
+
+
+def render_cube_faces(scene: SphereScene, cam_pos: Array, cam_rot: Array,
+                      face_w: int) -> tuple:
+    """Ray-trace the 6 cube faces of a view (habitat cube-sensor analogue).
+
+    Faces follow the [F R B L U D] layout of ``core/cubemap.py`` with the
+    90° pinhole of ``data/database.py:cube_intrinsics``; depth is z-depth
+    (distance along each face's optical axis), matching what the reference
+    pipeline stores in ``depth_cubes`` (``lmdb_write_render.py:225-231``).
+
+    :param cam_rot: (3, 3) camera-to-world rotation of the PANO camera.
+    :return: (rgb (6, fw, fw, 3), zdepth (6, fw, fw, 1)).
+    """
+    fn = _render_cube_jit(face_w)
+    return fn(scene.centers, scene.radii, scene.colors,
+              jnp.asarray(scene.room_radius, jnp.float32),
+              jnp.asarray(cam_pos, jnp.float32),
+              jnp.asarray(cam_rot, jnp.float32))
 
 
 def make_multi_view_sample(scene: SphereScene, height: int, width: int,

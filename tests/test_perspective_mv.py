@@ -22,6 +22,34 @@ def test_cube_intrinsics_fov():
     assert R.shape == (6, 3, 3)
     for i in range(6):
         np.testing.assert_allclose(R[i] @ R[i].T, np.eye(3), atol=1e-5)
+        assert abs(np.linalg.det(R[i]) - 1.0) < 1e-5
+
+
+def test_cube_face_rotations_match_e2c_layout():
+    """R_face @ K^-1 [u,v,1] must reproduce the py360convert e2c face
+    directions (in the m3d camera frame) — the invariant that makes
+    ``equi_to_cube(pano)`` valid GT for perspective face renders
+    (``tools/render_cubes.py``).  Regression for the 180-deg-rotated
+    face table shipped in rounds 1-2."""
+    from panogrf_tpu.core.cubemap import _e2c_grid
+    H, W, FW = 64, 128, 32
+    grid = _e2c_grid(H, W, FW)
+    fx = (grid[..., 0] + 0.5) / W
+    fy = (grid[..., 1] + 0.5) / H
+    theta = fx * 2 * np.pi - 0.5 * np.pi
+    phi = fy * np.pi
+    d_e2c = np.stack([np.sin(phi) * np.cos(theta), np.cos(phi),
+                      np.sin(phi) * np.sin(theta)], -1)
+    k_inv = np.linalg.inv(cube_intrinsics(FW))
+    u, v = np.meshgrid(np.arange(FW, dtype=np.float64),
+                       np.arange(FW, dtype=np.float64))
+    df = np.einsum("ij,hwj->hwi", k_inv,
+                   np.stack([u, v, np.ones_like(u)], -1))
+    df /= np.linalg.norm(df, axis=-1, keepdims=True)
+    d_persp = np.einsum("fij,hwj->fhwi", cube_face_rotations(), df)
+    # residual bounded by the focal-grid difference (e2c is align-corners
+    # with focal (fw-1)/2; the cube K uses fw/2): ~0.012 at face corners
+    assert np.abs(d_persp - d_e2c).max() < 0.02
 
 
 def test_database_protocol():
