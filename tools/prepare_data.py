@@ -25,6 +25,16 @@ def main():
     ap.add_argument("--width", type=int, default=512)
     ap.add_argument("--m3d-dist", type=float, default=0.5)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--seq-len", type=int, default=3)
+    ap.add_argument("--cubes", action="store_true",
+                    help="also render + store the 6 cube faces per view "
+                         "(rgb/depth/rots/trans_cubes, like the reference "
+                         "LMDB writer's cube keys) via the online "
+                         "generator; enables render_cubes --shards eval")
+    ap.add_argument("--split", default="train",
+                    choices=["train", "val", "test"],
+                    help="--cubes path only: which online-generator split "
+                         "seeds the scenes")
     ap.add_argument("--cpu", action="store_true",
                     help="force CPU (default: default jax platform)")
     args = ap.parse_args()
@@ -33,9 +43,16 @@ def main():
         import jax
         jax.config.update("jax_platforms", "cpu")
 
-    from panogrf_tpu.data.shards import write_synthetic_dataset
-    write_synthetic_dataset(args.out, args.num, args.height, args.width,
-                            args.m3d_dist, args.seed)
+    if args.cubes:
+        from panogrf_tpu.data.online import OnlineImageGenerator
+        gen = OnlineImageGenerator(
+            args.split, args.height, args.width, seq_len=args.seq_len,
+            m3d_dist=args.m3d_dist, with_cubes=True, seed=args.seed)
+        gen.write_shards(args.out, args.num)
+    else:
+        from panogrf_tpu.data.shards import write_synthetic_dataset
+        write_synthetic_dataset(args.out, args.num, args.height, args.width,
+                                args.m3d_dist, args.seed)
     print(f"wrote {args.num} samples to {args.out}")
 
 
