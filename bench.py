@@ -69,6 +69,12 @@ def main():
                          "MLPs instead of stats gathered with the row)")
     ap.add_argument("--pallas-agg", action="store_true",
                     help="IBR pooled stage via the fused Pallas kernel")
+    # the coarse pass's blended RGB is discarded in serving (the headline
+    # image is the fine pass, fed only by the coarse density importance):
+    # skipping its rgb head is bit-exact for the measured output.
+    ap.add_argument("--no-coarse-geometry-only", dest="coarse_geo_only",
+                    action="store_false", default=True,
+                    help="keep the coarse pass's (discarded) RGB head")
     ap.add_argument("--with-depth-stack", action="store_true",
                     help="also time the per-scene cost: frozen mono+MVS "
                          "depth inference + reference-view encoding "
@@ -94,6 +100,7 @@ def main():
         gather_stride_fine=args.gather_stride_fine,
         decode_on_map=args.decode_on_map,
         pallas_agg=args.pallas_agg,
+        coarse_geometry_only=args.coarse_geo_only and not args.diner,
         coarse_proxy_samples=args.proxy_samples,
         compute_dtype="bfloat16" if not on_cpu else "float32")
     rng = np.random.default_rng(0)

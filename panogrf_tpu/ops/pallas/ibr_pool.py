@@ -161,7 +161,8 @@ def _pad_like(x):
 
 
 def pool_reference(rgb_feat: Array, neuray_feat: Array, ray_diff: Array,
-                   mask: Array, params: dict) -> tuple:
+                   mask: Array, params: dict,
+                   geometry_only: bool = False) -> tuple:
     """Plain-jnp twin of the kernel (CPU path + custom-VJP backward).
 
     Shapes as :func:`ibr_pool`; returns (geo (N,16), rgb (N,3),
@@ -217,6 +218,13 @@ def pool_reference(rgb_feat: Array, neuray_feat: Array, ray_diff: Array,
     g_in = jnp.concatenate([mean[:, 0], var[:, 0],
                             jnp.mean(wgt, axis=1)], -1)
     geo = seq2("geometry_fc", g_in)
+    nvalid = jnp.sum(mask[..., 0], axis=1, keepdims=True)
+
+    if geometry_only:
+        # serving coarse pass: its blended RGB is discarded (only the
+        # density/hit-prob importance feeds the fine pass), so skip the
+        # rgb_fc head entirely — bit-exact for the fine image
+        return geo, jnp.zeros((geo.shape[0], 3), geo.dtype), nvalid
 
     r_in = jnp.concatenate([x, vis, ray_diff], -1)
     h = _elu(r_in @ p["rgb_fc"]["w0"] + p["rgb_fc"]["b0"])
@@ -225,33 +233,39 @@ def pool_reference(rgb_feat: Array, neuray_feat: Array, ray_diff: Array,
     logit = jnp.where(mask == 0, -1e9, logit)
     blend = jax.nn.softmax(logit, axis=1)
     rgb = jnp.sum(rgb_in * blend, axis=1)
-    nvalid = jnp.sum(mask[..., 0], axis=1, keepdims=True)
     return geo, rgb, nvalid
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
 def ibr_pool_op(rgb_feat, neuray_feat, ray_diff, mask, params,
-                use_pallas: bool = True):
-    """Differentiable pooled stage; Pallas forward on TPU, jnp elsewhere."""
+                use_pallas: bool = True, geometry_only: bool = False):
+    """Differentiable pooled stage; Pallas forward on TPU, jnp elsewhere.
+
+    ``geometry_only`` skips the view-blended RGB head (returns zeros) —
+    valid only where the caller discards the coarse colors (serving).
+    """
     if use_pallas and jax.default_backend() == "tpu":
         v, f = rgb_feat.shape[1], rgb_feat.shape[2]
         if v == 2 and f == 35 and neuray_feat.shape[-1] == 32:
             from panogrf_tpu.ops.pallas.ibr_pool2 import ibr_pool2
-            return ibr_pool2(rgb_feat, neuray_feat, ray_diff, mask, params)
+            return ibr_pool2(rgb_feat, neuray_feat, ray_diff, mask, params,
+                             geometry_only=geometry_only)
         return ibr_pool(rgb_feat, neuray_feat, ray_diff, mask, params)
-    return pool_reference(rgb_feat, neuray_feat, ray_diff, mask, params)
+    return pool_reference(rgb_feat, neuray_feat, ray_diff, mask, params,
+                          geometry_only)
 
 
-def _pool_fwd(rgb_feat, neuray_feat, ray_diff, mask, params, use_pallas):
+def _pool_fwd(rgb_feat, neuray_feat, ray_diff, mask, params, use_pallas,
+              geometry_only):
     out = ibr_pool_op(rgb_feat, neuray_feat, ray_diff, mask, params,
-                      use_pallas)
+                      use_pallas, geometry_only)
     return out, (rgb_feat, neuray_feat, ray_diff, mask, params)
 
 
-def _pool_bwd(use_pallas, res, g):
+def _pool_bwd(use_pallas, geometry_only, res, g):
     rgb_feat, neuray_feat, ray_diff, mask, params = res
     _, vjp = jax.vjp(lambda a, b, c, d, p:
-                     pool_reference(a, b, c, d, p),
+                     pool_reference(a, b, c, d, p, geometry_only),
                      rgb_feat, neuray_feat, ray_diff, mask, params)
     return vjp(g)
 

@@ -66,7 +66,7 @@ def _lane_mask(shape, lo, hi):
     return (lane >= lo) & (lane < hi)
 
 
-def _kernel(xa_ref, xb_ref,
+def _kernel(geometry_only, xa_ref, xb_ref,
             w1, b1, w2, b2, wg1, wg2, wd, wdn, bd, wbw2, bbw2,
             we1, be1, we2, be2, wf1, bf1, wf2, bf2,
             wgeo, bgeo, wgw2, bgw2, gs_row,
@@ -141,6 +141,16 @@ def _kernel(xa_ref, xb_ref,
              + wmean * gs_row[:] + bgeo[:])          # (B, 128), 0:64 real
     geo = _elu(_dot(g, wgw2[:]) + bgw2[:])           # 0:16 real
 
+    nvalid = m0 + m1
+    lane = jax.lax.broadcasted_iota(jnp.int32, geo.shape, 1)
+    if geometry_only:
+        # serving coarse pass discards blended RGB (only density feeds the
+        # fine pass) — skip the rgb_fc head; bit-exact for the fine image
+        out = jnp.where(lane < 16, geo, 0.0)
+        out = out + jnp.pad(nvalid, ((0, 0), (19, LANES - 20)))
+        out_ref[:] = out.astype(out_ref.dtype)
+        return
+
     # step 11: rgb blend head — rin = [x 0:32 | vis 32 | rdiff 33:37]/half
     rdm = _lane_mask(xb.shape, 33, 37) | _lane_mask(xb.shape, 97, 101)
     rin = jnp.where(_lane_mask(x.shape, 0, 32)
@@ -163,8 +173,6 @@ def _kernel(xa_ref, xb_ref,
     esum = e0 + e1 + 1e-20
     rgb = xa[:, 0:3] * (e0 / esum) + xa[:, HALF:HALF + 3] * (e1 / esum)
 
-    nvalid = m0 + m1
-    lane = jax.lax.broadcasted_iota(jnp.int32, geo.shape, 1)
     out = jnp.where(lane < 16, geo, 0.0)
     out = out + jnp.pad(rgb, ((0, 0), (16, LANES - 19)))
     out = out + jnp.pad(nvalid, ((0, 0), (19, LANES - 20)))
@@ -304,11 +312,12 @@ def build_weights(params: dict, dtype=jnp.float32) -> list:
 
 def ibr_pool2(rgb_feat: Array, neuray_feat: Array, ray_diff: Array,
               mask: Array, params: dict, block_rows: int = 1024,
-              interpret: bool = False) -> tuple:
+              interpret: bool = False, geometry_only: bool = False) -> tuple:
     """v2 fused pooled stage (rfn = 2 only).
 
     Same contract as :func:`ibr_pool.pool_reference`: inputs (N, 2, c),
     returns (geo (N, 16), rgb (N, 3), nvalid (N, 1)) in float32.
+    ``geometry_only`` skips the rgb head (rgb returned as zeros).
     """
     n, v, f = rgb_feat.shape
     assert v == 2 and f == F and neuray_feat.shape[-1] == ND, (v, f)
@@ -326,7 +335,7 @@ def ibr_pool2(rgb_feat: Array, neuray_feat: Array, ray_diff: Array,
     wspec = [pl.BlockSpec(w.shape, lambda i, s=w.shape: (0,) * len(s),
                           memory_space=pltpu.VMEM) for w in weights]
     out = pl.pallas_call(
-        _kernel,
+        functools.partial(_kernel, geometry_only),
         grid=(n_p // block_rows,),
         in_specs=[big(xa), big(xb), *wspec],
         out_specs=pl.BlockSpec((block_rows, LANES), lambda i: (i, 0),

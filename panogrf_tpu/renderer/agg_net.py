@@ -132,6 +132,9 @@ class IBRNetWithNeuRay(nn.Module):
     # layout XLA's fusion already runs the pooled stage at ~11ms/chunk,
     # while the current kernel's in-kernel lane extension lowers badly.
     use_pallas: bool = False
+    # Skip the view-blended RGB head (serving coarse pass: only the density
+    # importance is consumed, so this is bit-exact for the fine image).
+    geometry_only: bool = False
 
     def _pool_params(self, in_dim: int, nd: int) -> dict:
         """Declare the pooled-stage parameter tree (shared by the Pallas
@@ -173,7 +176,7 @@ class IBRNetWithNeuRay(nn.Module):
 
         geo, rgb_out, nvalid = ibr_pool_op(
             flat(rgb_feat), flat(neuray_feat), flat(ray_diff), flat(mask),
-            params, self.use_pallas)
+            params, self.use_pallas, self.geometry_only)
         # keep the ray attention in the compute dtype (bf16 inference) —
         # forcing f32 here doubled the attention pass's HBM traffic
         geo = geo.reshape(nr, dn, 16).astype(dt)
@@ -200,6 +203,7 @@ class DefaultAggregationNet(nn.Module):
     wo_geometry: bool = False
     wo_appearance: bool = False
     use_pallas: bool = False
+    geometry_only: bool = False
 
     @nn.compact
     def __call__(self, prj_dict: dict, que_dir: Array) -> tuple:
@@ -248,6 +252,7 @@ class DefaultAggregationNet(nn.Module):
 
         out = IBRNetWithNeuRay(self.neuray_dim, self.in_feat_ch, dn,
                                use_pallas=self.use_pallas,
+                               geometry_only=self.geometry_only,
                                name="agg_impl")(
             to_rays(img_feats), to_rays(prob_embedding), to_rays(dir_diff),
             to_rays(mask))

@@ -118,6 +118,14 @@ class NeuralRayGenRenderer(nn.Module):
     # route the IBR pooled stage through the fused Pallas kernel
     # (ops/pallas/ibr_pool.py) instead of the XLA chain
     pallas_agg: bool = False
+    # serving: skip the COARSE pass's view-blended RGB head — the eval
+    # image is the fine pass and the coarse pass feeds it only through the
+    # density importance, so the fine output is BIT-EXACT; coarse
+    # pixel_colors_nr become zeros.  Do NOT enable for training (the
+    # coarse render loss reads them) or for DINER serving (its single
+    # pass runs the coarse agg and its colors ARE the output); only
+    # applied when hierarchical sampling is on (setup()).
+    coarse_geometry_only: bool = False
 
     # 'ERP' (ResUNetLight) or 'ERP+TP' (dual ERP + tangent-patch encoder,
     # reference local_feature_type / init_net_feature_type knobs,
@@ -149,6 +157,8 @@ class NeuralRayGenRenderer(nn.Module):
             use_vis=self.use_vis, name="dist_decoder")
         self.agg_net = DefaultAggregationNet(
             n_samples=self.depth_sample_num, use_pallas=self.pallas_agg,
+            geometry_only=(self.coarse_geometry_only
+                           and self.use_hierarchical_sampling),
             name="agg_net")
         if self.use_hierarchical_sampling:
             self.fine_dist_decoder = MixtureLogisticsDistDecoder(

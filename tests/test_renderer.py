@@ -256,3 +256,88 @@ def test_decode_on_map_close_to_fast_gather():
     c = np.asarray(out_s["pixel_colors_nr_fine"])
     assert np.isfinite(c).all()
     assert np.abs(a - c).max() < 0.2, np.abs(a - c).max()
+
+
+def test_coarse_geometry_only_fine_bit_exact():
+    """coarse_geometry_only (serving: skip the coarse pass's discarded RGB
+    head) must leave every FINE output bit-exact — the coarse pass feeds
+    the fine pass only through the density importance — and share the
+    exact same parameter tree."""
+    import numpy as np
+    H, W, DH, DW = 32, 64, 16, 32
+    rng_np = np.random.default_rng(3)
+    ref_info = {
+        "imgs": jnp.asarray(rng_np.uniform(size=(2, H, W, 3)), jnp.float32),
+        "mvs_depth": jnp.asarray(rng_np.uniform(1, 5, size=(2, DH, DW, 1)),
+                                 jnp.float32),
+        "depth_range": jnp.asarray([[0.5, 15.0]] * 2),
+        "w2c": jnp.broadcast_to(
+            jnp.concatenate([jnp.eye(3), jnp.zeros((3, 1))], 1),
+            (2, 3, 4)).at[1, 2, 3].set(0.5),
+    }
+    coords = jnp.stack(
+        [jnp.asarray(rng_np.integers(0, W, (1, 16)), jnp.float32),
+         jnp.asarray(rng_np.integers(0, H, (1, 16)), jnp.float32)], -1)
+    c2w = jnp.concatenate([jnp.eye(3), jnp.asarray([[.1], [0.], [.2]])], 1)
+    data = {"ref_imgs_info": ref_info,
+            "que_imgs_info": {"coords": coords, "c2w": c2w,
+                              "depth_range": jnp.asarray([[0.5, 15.0]])}}
+    from panogrf_tpu.renderer.renderer import NeuralRayGenRenderer as NR
+    kw = dict(height=H, width=W, depth_hw=(DH, DW), depth_sample_num=8,
+              fine_depth_sample_num=8, fast_gather=True)
+    full = NR(**kw)
+    geo = NR(**kw, coarse_geometry_only=True)
+    params = jax.jit(full.init)(jax.random.PRNGKey(0), data)
+    # identical parameter tree (flag changes execution, not parameters)
+    p2 = jax.jit(geo.init)(jax.random.PRNGKey(0), data)
+    assert jax.tree.structure(params) == jax.tree.structure(p2)
+    out_a = full.apply(params, data)
+    out_b = geo.apply(params, data)
+    for k in out_a:
+        if k.endswith("_fine"):
+            np.testing.assert_array_equal(np.asarray(out_a[k]),
+                                          np.asarray(out_b[k]), err_msg=k)
+    # coarse colors are zeroed, coarse hit-prob untouched
+    assert float(jnp.abs(out_b["pixel_colors_nr"]).max()) == 0.0
+    np.testing.assert_array_equal(np.asarray(out_a["hit_prob_nr"]),
+                                  np.asarray(out_b["hit_prob_nr"]))
+
+
+def test_pool_geometry_only_matches_full():
+    """pool_reference/ibr_pool2 geometry_only: geo + nvalid identical to
+    the full pool, rgb zeroed."""
+    import numpy as np
+    from panogrf_tpu.ops.pallas.ibr_pool import pool_reference
+    from panogrf_tpu.ops.pallas.ibr_pool2 import ibr_pool2
+    rng = np.random.default_rng(4)
+    n, v, f, nd = 64, 2, 35, 32
+    shapes = {"ray_dir_fc": [(4, 16), (16, f)],
+              "neuray_fc": [(nd, 8), (8, 1)],
+              "base_fc": [(4 * f + f + nd, 64), (64, 32)],
+              "vis_fc": [(32, 32), (32, 33)],
+              "vis_fc2": [(32, 32), (32, 1)],
+              "geometry_fc": [(65, 64), (64, 16)],
+              "rgb_fc": [(37, 16), (16, 8), (8, 1)]}
+    params = {nm: {f"w{i}": jnp.asarray(rng.normal(0, .2, d), jnp.float32)
+                   for i, d in enumerate(dims)} for nm, dims in shapes.items()}
+    for nm, dims in shapes.items():
+        for i, (_, b) in enumerate(dims):
+            params[nm][f"b{i}"] = jnp.asarray(rng.normal(0, .1, (b,)),
+                                              jnp.float32)
+    rgbf = jnp.asarray(rng.normal(size=(n, v, f)), jnp.float32)
+    nray = jnp.asarray(rng.normal(size=(n, v, nd)), jnp.float32)
+    rdif = jnp.asarray(rng.normal(size=(n, v, 4)), jnp.float32)
+    mask = jnp.ones((n, v, 1), jnp.float32)
+    g_full, rgb_full, nv_full = pool_reference(rgbf, nray, rdif, mask,
+                                               params)
+    g_geo, rgb_geo, nv_geo = pool_reference(rgbf, nray, rdif, mask, params,
+                                            geometry_only=True)
+    np.testing.assert_array_equal(np.asarray(g_full), np.asarray(g_geo))
+    np.testing.assert_array_equal(np.asarray(nv_full), np.asarray(nv_geo))
+    assert float(jnp.abs(rgb_geo).max()) == 0.0
+    g2, rgb2, nv2 = ibr_pool2(rgbf, nray, rdif, mask, params,
+                              block_rows=32, interpret=True,
+                              geometry_only=True)
+    np.testing.assert_allclose(np.asarray(g_full), np.asarray(g2),
+                               rtol=3e-5, atol=3e-5)
+    assert float(jnp.abs(rgb2).max()) == 0.0

@@ -117,6 +117,9 @@ def main():
         gather_stride=args.gather_stride if not args.exact else 1,
         gather_stride_fine=args.gather_stride_fine if not args.exact else 0,
         decode_on_map=args.decode_on_map and not args.exact,
+        # coarse RGB head skipped when serving: the saved/evaluated image
+        # is the fine pass, which this leaves bit-exact
+        coarse_geometry_only=not args.exact,
         compute_dtype="bfloat16" if args.bf16 else "float32")
 
     out_dir = Path(args.out)
