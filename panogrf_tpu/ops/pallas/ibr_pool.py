@@ -186,6 +186,14 @@ def pool_reference(rgb_feat: Array, neuray_feat: Array, ray_diff: Array,
         h = h @ p[name]["w1"] + p[name]["b1"]
         return _elu(h) if act_last else h
 
+    if "prob_embed" in p:
+        # embed-in-kernel twin: neuray_feat is raw [ray_feats | hit | vis]
+        # and the two prob-embedding Dense layers run here (reference
+        # ``aggregate_net.py:35-39``)
+        pe = p["prob_embed"]
+        e = jax.nn.relu(neuray_feat @ pe["k0"] + pe["b0"])
+        neuray_feat = e @ pe["k1"] + pe["b1"]
+
     weight = mask / (jnp.sum(mask, axis=1, keepdims=True) + eps)  # (N,v,1)
     dirf = seq2("ray_dir_fc", ray_diff)
     rgb_in = rgb_feat[..., :3]
@@ -243,13 +251,23 @@ def ibr_pool_op(rgb_feat, neuray_feat, ray_diff, mask, params,
 
     ``geometry_only`` skips the view-blended RGB head (returns zeros) —
     valid only where the caller discards the coarse colors (serving).
+    With ``params['prob_embed']`` set, ``neuray_feat`` is the raw 34-ch
+    [ray_feats | hit | vis] block and the prob embedding runs inside the
+    pooled stage (kernel or reference twin).
     """
+    embed = "prob_embed" in params
+    nd = neuray_feat.shape[-1] - (2 if embed else 0)
     if use_pallas and jax.default_backend() == "tpu":
         v, f = rgb_feat.shape[1], rgb_feat.shape[2]
-        if v == 2 and f == 35 and neuray_feat.shape[-1] == 32:
+        if v == 2 and f == 35 and nd == 32:
             from panogrf_tpu.ops.pallas.ibr_pool2 import ibr_pool2
             return ibr_pool2(rgb_feat, neuray_feat, ray_diff, mask, params,
                              geometry_only=geometry_only)
+        if embed:  # v1 kernel has no embed mode: embed in jnp, then pool
+            pe = params["prob_embed"]
+            e = jax.nn.relu(neuray_feat @ pe["k0"] + pe["b0"])
+            neuray_feat = e @ pe["k1"] + pe["b1"]
+            params = {k: v for k, v in params.items() if k != "prob_embed"}
         return ibr_pool(rgb_feat, neuray_feat, ray_diff, mask, params)
     return pool_reference(rgb_feat, neuray_feat, ray_diff, mask, params,
                           geometry_only)

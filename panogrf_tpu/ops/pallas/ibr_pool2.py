@@ -21,6 +21,14 @@ Inputs (built by :func:`pack_inputs` from the (N, v, c) layout):
    [x 0:32 | vis 32 | ray_diff 33:37] needs no in-kernel lane shift.)
 Output (N, 128): [0:16 geo][16:19 rgb][19 num_valid].
 
+Embed-in-kernel mode (``embed=True``): lanes 0:32 carry the RAW gathered
+ray features instead of the prob embedding, with the per-sample scaled
+hit-prob at lane 38 and visibility at lane 39 per half; the two
+prob-embedding Dense layers (reference ``aggregate_net.py:35-39``) run
+INSIDE the kernel (2 extra block-diagonal matmuls), eliminating two
+(N, v, 32) HBM round-trips per pass — the dominant agg cost is exactly
+such 16x-lane-padded fusion-boundary tensors.
+
 Numerics mirror :func:`ibr_pool.pool_reference` exactly (same math,
 f32 accumulation); parity is tested in interpret mode and on TPU by
 ``tests/test_pallas.py::test_pool2_matches_reference``.
@@ -66,15 +74,27 @@ def _lane_mask(shape, lo, hi):
     return (lane >= lo) & (lane < hi)
 
 
-def _kernel(geometry_only, xa_ref, xb_ref,
+def _kernel(geometry_only, embed, xa_ref, xb_ref,
+            we0_k, we0_b, we1_k, we1_b,
             w1, b1, w2, b2, wg1, wg2, wd, wdn, bd, wbw2, bbw2,
-            we1, be1, we2, be2, wf1, bf1, wf2, bf2,
+            we1_, be1_, we2, be2, wf1, bf1, wf2, bf2,
             wgeo, bgeo, wgw2, bgw2, gs_row,
             wh1, bh1, wh2, bh2, wh3, bh3,
             out_ref):
     eps = 1e-8
     xa = xa_ref[:].astype(jnp.float32)              # (B, 128)
     xb = xb_ref[:].astype(jnp.float32)
+
+    if embed:
+        # prob-embedding in-kernel: raw ray feats at 0:32, hit at 38,
+        # vis at 39 per half (weight rows placed accordingly by
+        # build_weights) -> embedding at 0:32; other lanes pass through.
+        e = _dot(xb, we0_k[:]) + we0_b[:]
+        e = jnp.maximum(e, 0.0)
+        e = _dot(e, we1_k[:]) + we1_b[:]
+        emb_mask = _lane_mask(xb.shape, 0, 32) \
+            | _lane_mask(xb.shape, HALF, HALF + 32)
+        xb = jnp.where(emb_mask, e, xb)
 
     def halves(t):
         return t[:, :HALF], t[:, HALF:]
@@ -111,7 +131,7 @@ def _kernel(geometry_only, xa_ref, xb_ref,
     # step 7: vis_fc (+ residual)
     wt_b = jnp.concatenate([jnp.broadcast_to(wt0, (wt0.shape[0], HALF)),
                             jnp.broadcast_to(wt1, (wt1.shape[0], HALF))], 1)
-    hv = _elu(_dot(x * wt_b, we1[:]) + be1[:])
+    hv = _elu(_dot(x * wt_b, we1_[:]) + be1_[:])
     hv2 = _elu(_dot(hv, we2[:]) + be2[:])            # [0:32 x_res|32 vis]
     vis0 = _sig(hv2[:, 32:33]) * m0
     vis1 = _sig(hv2[:, HALF + 32:HALF + 33]) * m1
@@ -208,15 +228,23 @@ def _dup_cols(w, r0):
 
 def pack_inputs(rgb_feat: Array, neuray_feat: Array, ray_diff: Array,
                 mask: Array) -> tuple:
-    """(N, 2, c) tensors -> (XA, XB) packed rows (see module docstring)."""
+    """(N, 2, c) tensors -> (XA, XB) packed rows (see module docstring).
+
+    ``neuray_feat`` is either the 32-ch prob embedding, or — in
+    embed-in-kernel mode — the raw 34-ch [ray_feats | hit | vis] block,
+    whose hit/vis land at lanes 38/39 per half.
+    """
     n = rgb_feat.shape[0]
     dt = rgb_feat.dtype
 
     def half(i):
         zero = jnp.zeros((n, 1), dt)                 # lane 32 spacer so
-        parts = [neuray_feat[:, i], zero,            # rdiff lands at 33:37
+        nf = neuray_feat[:, i]
+        parts = [nf[:, :32], zero,                   # rdiff lands at 33:37
                  ray_diff[:, i].astype(dt), mask[:, i].astype(dt)]
-        row = jnp.concatenate(parts, axis=-1)        # (N, 38)
+        if nf.shape[-1] == ND + 2:                   # raw [rf | hit | vis]
+            parts.append(nf[:, 32:34])               # hit 38, vis 39
+        row = jnp.concatenate(parts, axis=-1)        # (N, 38 or 40)
         return jnp.pad(row, ((0, 0), (0, HALF - row.shape[-1])))
 
     xb = jnp.concatenate([half(0), half(1)], axis=-1)
@@ -229,10 +257,28 @@ def pack_inputs(rgb_feat: Array, neuray_feat: Array, ray_diff: Array,
 
 def build_weights(params: dict, dtype=jnp.float32) -> list:
     """Assemble the packed (128, 128) weight set from the agg-net
-    parameter tree (same tree as ibr_pool / pool_reference)."""
+    parameter tree (same tree as ibr_pool / pool_reference).
+
+    When ``params['prob_embed']`` is present (embed-in-kernel mode, keys
+    k0/b0/k1/b1 of the two prob-embedding Dense layers), its weights are
+    packed first — input rows rf 0:32 + hit 38 + vis 39 per half; zero
+    placeholders otherwise so the kernel signature is fixed."""
     p = {k: {kk: vv.astype(dtype) for kk, vv in v.items()}
-         for k, v in params.items()}
+         for k, v in params.items() if k != "prob_embed"}
     f, nd = F, ND
+
+    if "prob_embed" in params:
+        pe = {k: v.astype(dtype) for k, v in params["prob_embed"].items()}
+        we0_k = (_block2(pe["k0"][:ND], 0, 0)
+                 + _block2(pe["k0"][ND:ND + 1], 38, 0)
+                 + _block2(pe["k0"][ND + 1:ND + 2], 39, 0))
+        we0_b = _brow2(pe["b0"], 0)
+        we1_k = _block2(pe["k1"], 0, 0)
+        we1_b = _brow2(pe["b1"], 0)
+    else:
+        we0_k = we1_k = jnp.zeros((LANES, LANES), dtype)
+        we0_b = we1_b = jnp.zeros((1, LANES), dtype)
+    embed_ws = [we0_k, we0_b, we1_k, we1_b]
 
     def g(name, i):
         return p[name][f"w{i}"], p[name][f"b{i}"]
@@ -304,7 +350,8 @@ def build_weights(params: dict, dtype=jnp.float32) -> list:
     bh2 = _brow2(rb2, 0)
     wh3 = _block2(rw3, 0, 0)
     bh3 = _brow2(rb3, 0)
-    return [w1, b1, w2, b2, wg1, wg2, wd, wdn, bd, wbw2, bbw2,
+    return [*embed_ws,
+            w1, b1, w2, b2, wg1, wg2, wd, wdn, bd, wbw2, bbw2,
             we1, be1, we2, be2, wf1, bf1, wf2, bf2,
             wgeo, bgeo, wgw2, bgw2, gs_row,
             wh1, bh1, wh2, bh2, wh3, bh3]
@@ -320,7 +367,10 @@ def ibr_pool2(rgb_feat: Array, neuray_feat: Array, ray_diff: Array,
     ``geometry_only`` skips the rgb head (rgb returned as zeros).
     """
     n, v, f = rgb_feat.shape
-    assert v == 2 and f == F and neuray_feat.shape[-1] == ND, (v, f)
+    embed = "prob_embed" in params
+    nd_in = ND + 2 if embed else ND
+    assert v == 2 and f == F and neuray_feat.shape[-1] == nd_in, (
+        v, f, neuray_feat.shape, embed)
     xa, xb = pack_inputs(rgb_feat, neuray_feat, ray_diff, mask)
     n_p = (n + block_rows - 1) // block_rows * block_rows
     xa = jnp.pad(xa, ((0, n_p - n), (0, 0)))
@@ -335,7 +385,7 @@ def ibr_pool2(rgb_feat: Array, neuray_feat: Array, ray_diff: Array,
     wspec = [pl.BlockSpec(w.shape, lambda i, s=w.shape: (0,) * len(s),
                           memory_space=pltpu.VMEM) for w in weights]
     out = pl.pallas_call(
-        functools.partial(_kernel, geometry_only),
+        functools.partial(_kernel, geometry_only, embed),
         grid=(n_p // block_rows,),
         in_specs=[big(xa), big(xb), *wspec],
         out_specs=pl.BlockSpec((block_rows, LANES), lambda i: (i, 0),

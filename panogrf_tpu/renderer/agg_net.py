@@ -73,6 +73,24 @@ class MultiHeadAttention(nn.Module):
         return nn.LayerNorm(epsilon=1e-6, dtype=out.dtype)(out)
 
 
+class _DenseParams(nn.Module):
+    """Parameter-compatible stand-in for ``nn.Dense`` whose weights can be
+    either applied in place (XLA path) or handed to the fused Pallas pool
+    kernel.  Declares ``kernel``/``bias`` under its own name, so the tree
+    path (``.../prob_embed_0/kernel``) is identical to the ``nn.Dense`` it
+    replaces — checkpoints and the torch converter are unaffected.
+    """
+    in_features: int
+    features: int
+
+    @nn.compact
+    def __call__(self) -> tuple:
+        k = self.param("kernel", nn.initializers.lecun_normal(),
+                       (self.in_features, self.features))
+        b = self.param("bias", nn.initializers.zeros, (self.features,))
+        return k, b
+
+
 class _Seq(nn.Module):
     """Dense stack with ELU activations between layers.
 
@@ -163,12 +181,18 @@ class IBRNetWithNeuRay(nn.Module):
 
     @nn.compact
     def __call__(self, rgb_feat: Array, neuray_feat: Array, ray_diff: Array,
-                 mask: Array) -> Array:
+                 mask: Array, embed_params: dict | None = None) -> Array:
+        """``neuray_feat`` is the 32-ch prob embedding, or — when
+        ``embed_params`` (k0/b0/k1/b1 of the prob-embedding layers) is
+        given — the raw 34-ch [ray_feats | hit | vis] block, embedded
+        inside the pooled stage (kernel or reference twin)."""
         from panogrf_tpu.ops.pallas.ibr_pool import ibr_pool_op
         nr, dn, v, f = rgb_feat.shape
-        nd = neuray_feat.shape[-1]
+        nd = self.neuray_in_dim
         params = self._pool_params(f, nd)
         dt = rgb_feat.dtype
+        if embed_params is not None:
+            params["prob_embed"] = embed_params
         params = jax.tree.map(lambda x: x.astype(dt), params)
 
         def flat(t):
@@ -218,14 +242,28 @@ class DefaultAggregationNet(nn.Module):
         vis = (prj_dict["vis"] - 0.5) * 2.0
         qn, rn, dn, rfn, _ = hit_prob.shape
 
-        prob_embedding = nn.Dense(self.neuray_dim, name="prob_embed_0",
-                                  dtype=hit_prob.dtype)(
-            jnp.concatenate([prj_dict["ray_feats"], hit_prob, vis], axis=-1))
-        prob_embedding = nn.Dense(self.neuray_dim, name="prob_embed_1",
-                                  dtype=hit_prob.dtype)(
-            nn.relu(prob_embedding))
-        if self.wo_geometry:
-            prob_embedding = jnp.zeros_like(prob_embedding)
+        nd_raw = prj_dict["ray_feats"].shape[-1]
+        dt_ = hit_prob.dtype
+        k0, b0 = _DenseParams(nd_raw + 2, self.neuray_dim,
+                              name="prob_embed_0")()
+        k1, b1 = _DenseParams(self.neuray_dim, self.neuray_dim,
+                              name="prob_embed_1")()
+        raw = jnp.concatenate([prj_dict["ray_feats"], hit_prob, vis],
+                              axis=-1)
+        # fold the embedding into the fused pooled stage when the v2
+        # kernel will run: saves two (N, v, 32) HBM round-trips per pass
+        fold_embed = (self.use_pallas and not self.wo_geometry
+                      and jax.default_backend() == "tpu"
+                      and rfn == 2 and nd_raw == self.neuray_dim)
+        embed_params = None
+        if fold_embed:
+            prob_embedding = raw
+            embed_params = {"k0": k0, "b0": b0, "k1": k1, "b1": b1}
+        else:
+            e = nn.relu(raw @ k0.astype(dt_) + b0.astype(dt_))
+            prob_embedding = e @ k1.astype(dt_) + b1.astype(dt_)
+            if self.wo_geometry:
+                prob_embedding = jnp.zeros_like(prob_embedding)
 
         # dir-diff feature (reference ``aggregate_net.py:8-14``) —
         # precomputed in the flat projection layout when available
@@ -255,7 +293,7 @@ class DefaultAggregationNet(nn.Module):
                                geometry_only=self.geometry_only,
                                name="agg_impl")(
             to_rays(img_feats), to_rays(prob_embedding), to_rays(dir_diff),
-            to_rays(mask))
+            to_rays(mask), embed_params=embed_params)
         colors = out[..., :3].reshape(qn, rn, dn, 3)
         density = out[..., 3].reshape(qn, rn, dn)
         return density, colors

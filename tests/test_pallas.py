@@ -199,3 +199,60 @@ def test_pool2_matches_reference():
         err = np.abs(np.asarray(x) - np.asarray(y, np.float32))
         scale = np.abs(np.asarray(x)).mean() + 1e-3
         assert err.mean() / scale < 0.05, (err.mean(), scale)
+
+
+def test_pool2_embed_in_kernel_matches_reference():
+    """Embed-in-kernel mode (raw [ray_feats | hit | vis] rows, the two
+    prob-embedding Dense layers run inside the kernel) matches the
+    XLA-embed + pool_reference composition."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from panogrf_tpu.ops.pallas.ibr_pool import pool_reference, ibr_pool_op
+    from panogrf_tpu.ops.pallas.ibr_pool2 import ibr_pool2
+    rng = np.random.default_rng(7)
+    n, v, f, nd = 96, 2, 35, 32
+    shapes = {"ray_dir_fc": [(4, 16), (16, f)],
+              "neuray_fc": [(nd, 8), (8, 1)],
+              "base_fc": [(4 * f + f + nd, 64), (64, 32)],
+              "vis_fc": [(32, 32), (32, 33)],
+              "vis_fc2": [(32, 32), (32, 1)],
+              "geometry_fc": [(65, 64), (64, 16)],
+              "rgb_fc": [(37, 16), (16, 8), (8, 1)]}
+    params = {}
+    for name, dims in shapes.items():
+        params[name] = {}
+        for i, (a_, b_) in enumerate(dims):
+            params[name][f"w{i}"] = jnp.asarray(
+                rng.normal(0, 0.2, (a_, b_)), jnp.float32)
+            params[name][f"b{i}"] = jnp.asarray(
+                rng.normal(0, 0.1, (b_,)), jnp.float32)
+    pe = {"k0": jnp.asarray(rng.normal(0, 0.2, (nd + 2, nd)), jnp.float32),
+          "b0": jnp.asarray(rng.normal(0, 0.1, (nd,)), jnp.float32),
+          "k1": jnp.asarray(rng.normal(0, 0.2, (nd, nd)), jnp.float32),
+          "b1": jnp.asarray(rng.normal(0, 0.1, (nd,)), jnp.float32)}
+    rgbf = jnp.asarray(rng.normal(size=(n, v, f)), jnp.float32)
+    raw = jnp.asarray(rng.normal(size=(n, v, nd + 2)), jnp.float32)
+    rdiff = jnp.asarray(rng.normal(size=(n, v, 4)), jnp.float32)
+    mask = jnp.asarray(rng.integers(0, 2, (n, v, 1)), jnp.float32)
+    mask = mask.at[:3].set(1.0)
+
+    emb = jax.nn.relu(raw @ pe["k0"] + pe["b0"]) @ pe["k1"] + pe["b1"]
+    ref = pool_reference(rgbf, emb, rdiff, mask, params)
+
+    pk = dict(params)
+    pk["prob_embed"] = pe
+    got = ibr_pool2(rgbf, raw, rdiff, mask, pk, block_rows=32,
+                    interpret=True)
+    for x, y in zip(ref, got):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   rtol=2e-4, atol=2e-4)
+    # reference twin takes the same embed-in params
+    got2 = pool_reference(rgbf, raw, rdiff, mask, pk)
+    for x, y in zip(ref, got2):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   rtol=1e-5, atol=1e-5)
+    # differentiable through ibr_pool_op (reference backward)
+    g = jax.grad(lambda p: sum(jnp.sum(t) for t in ibr_pool_op(
+        rgbf, raw, rdiff, mask, p, False, False)[:2]))(pk)
+    assert float(jnp.abs(g["prob_embed"]["k0"]).sum()) > 0.0
