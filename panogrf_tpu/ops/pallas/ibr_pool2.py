@@ -384,13 +384,17 @@ def ibr_pool2(rgb_feat: Array, neuray_feat: Array, ray_diff: Array,
                             memory_space=pltpu.VMEM)
     wspec = [pl.BlockSpec(w.shape, lambda i, s=w.shape: (0,) * len(s),
                           memory_space=pltpu.VMEM) for w in weights]
+    # coarse (geometry_only) output feeds the bf16 ray attention, so emit
+    # it in the compute dtype — halves this pass's dominant output
+    # traffic.  The fine pass keeps f32 (its rgb is the final image).
+    out_dt = rgb_feat.dtype if geometry_only else jnp.float32
     out = pl.pallas_call(
         functools.partial(_kernel, geometry_only, embed),
         grid=(n_p // block_rows,),
         in_specs=[big(xa), big(xb), *wspec],
         out_specs=pl.BlockSpec((block_rows, LANES), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n_p, LANES), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n_p, LANES), out_dt),
         interpret=interpret,
     )(xa, xb, *weights)
     out = out[:n]
