@@ -176,6 +176,19 @@ def main():
         "dmap_s4f32": {"fast_gather": True, "compute_dtype": "bfloat16",
                        "gather_stride": 4, "gather_stride_fine": 32,
                        "decode_on_map": True},
+        # bench.py's exact serving operating point (dmap + s4/f16 +
+        # depth-major + coarse rgb head skipped)
+        "serving": {"fast_gather": True, "compute_dtype": "bfloat16",
+                    "gather_stride": 4, "gather_stride_fine": 16,
+                    "decode_on_map": True, "gather_depth_major": True,
+                    "coarse_geometry_only": True},
+        # serving + the fused Pallas pooled stage (kernel engages on TPU
+        # only; on CPU this renders identically to 'serving')
+        "pallas_serving": {"fast_gather": True, "compute_dtype": "bfloat16",
+                           "gather_stride": 4, "gather_stride_fine": 16,
+                           "decode_on_map": True, "gather_depth_major": True,
+                           "coarse_geometry_only": True,
+                           "pallas_agg": True},
         "diner": {"fast_gather": True, "compute_dtype": "bfloat16"},
     }
     # NOTE: 'light_coarse' now decodes the FULL-res upsampled map under
