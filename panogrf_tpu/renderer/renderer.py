@@ -394,7 +394,10 @@ class NeuralRayGenRenderer(nn.Module):
             fine_depth = ro.sample_fine_depth(
                 que_depth, hit, que_depth_range, self.fine_depth_sample_num,
                 r_fine, inv_mode=self.use_disp)
-            fine_depth = jnp.sort(fine_depth, axis=-1)
+            if r_fine is not None:
+                # deterministic u is increasing and F^-1 is monotone, so
+                # the serving output is already sorted (bit-exact skip)
+                fine_depth = jnp.sort(fine_depth, axis=-1)
             fine_out = self.render_by_depth(fine_depth, coords, que_c2w,
                                             que_depth_range, ref_data,
                                             ref_depth_range, is_fine=True,
@@ -419,7 +422,10 @@ class NeuralRayGenRenderer(nn.Module):
                 r_fine, inv_mode=self.use_disp)
             if self.fine_depth_use_all:
                 fine_depth = jnp.concatenate([que_depth, fine_depth], -1)
-            fine_depth = jnp.sort(fine_depth, axis=-1)
+            if r_fine is not None or self.fine_depth_use_all:
+                # stochastic u (training) or the concat path need the
+                # sort; deterministic inverse-CDF output is already sorted
+                fine_depth = jnp.sort(fine_depth, axis=-1)
             fine_out = self.render_by_depth(fine_depth, coords, que_c2w,
                                             que_depth_range, ref_data,
                                             ref_depth_range, is_fine=True,

@@ -133,6 +133,21 @@ def test_depth_loss_head():
     assert out["depth_mean"].shape[0] == 2  # rfn
 
 
+def test_sample_fine_depth_deterministic_is_sorted():
+    """With deterministic (rng=None) increasing u, the sum-form inverse
+    CDF is monotone -> already sorted, so the serving path's sort skip
+    (renderer.render_rays) is bit-exact."""
+    import numpy as np
+    rng_np = np.random.default_rng(0)
+    depth = jnp.sort(jnp.asarray(
+        rng_np.uniform(0.5, 15.0, size=(1, 32, 16))), axis=-1)
+    hit = jnp.asarray(rng_np.uniform(size=(1, 32, 16)), jnp.float32)
+    fine = ro.sample_fine_depth(depth, hit, jnp.asarray([[0.5, 15.0]]),
+                                24, None)
+    f = np.asarray(fine)
+    assert (np.diff(f, axis=-1) >= -1e-7).all()
+
+
 def test_sample_fine_depth_matches_gather_form():
     """Sum-form inverse CDF == the classic searchsorted+gather form."""
     import numpy as np
