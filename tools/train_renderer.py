@@ -72,7 +72,11 @@ def main():
         depth_sample_num=R.depth_sample_num,
         fine_depth_sample_num=R.fine_depth_sample_num,
         use_hierarchical_sampling=R.use_hierarchical_sampling,
-        use_disp=R.use_disp, use_self_hit_prob=R.use_self_hit_prob)
+        use_disp=R.use_disp, use_self_hit_prob=R.use_self_hit_prob,
+        # gather row reorder (adjacent rays per depth index are ~1 px
+        # apart in the ref maps): strictly faster; forward bit-exact,
+        # gradients equal up to f32 summation order (tested)
+        gather_depth_major=True)
 
     rng = np.random.default_rng(cfg.train.seed)
     reader = ShardReader(args.shards) if args.shards else None
