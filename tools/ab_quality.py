@@ -190,6 +190,11 @@ def main():
                            "coarse_geometry_only": True,
                            "pallas_agg": True},
         "diner": {"fast_gather": True, "compute_dtype": "bfloat16"},
+        # the reference's DINER development traces use 1000 candidates
+        # (original_depth_guided_sample.py inline shapes); at 128 the
+        # 0.05 m validity window is wider than the candidate spacing and
+        # most rays fall back to uniform fill
+        "diner1000": {"fast_gather": True, "compute_dtype": "bfloat16"},
     }
     # NOTE: 'light_coarse' now decodes the FULL-res upsampled map under
     # fast_gather (renderer.prepare_ref); the recorded -6.9 dB was the
@@ -213,7 +218,7 @@ def main():
             q = imgs_info.QUE_ID
             c2w = imgs_info.c2w_from_w2c(
                 imgs_info.pose_w2c(s["rots"], s["trans"])[q][None])[0]
-            if mode == "diner":
+            if mode.startswith("diner"):
                 ref_data = full_render.prepare_ref_data(model, params,
                                                         ref_info)
                 ref_data["mvs_depth"] = ref_info["mvs_depth"]
@@ -222,7 +227,8 @@ def main():
                 rgb = full_render.render_image_device(
                     model, params, ref_data, c2w,
                     jnp.asarray([[0.5, 15.0]]), ref_info["depth_range"],
-                    chunk=min(2048, H * W), mode="diner")
+                    chunk=min(2048, H * W), mode="diner",
+                    n_candidates=int(mode[5:]) if mode[5:] else 128)
                 out = {"rgb": rgb}
             else:
                 out = full_render.render_image(
