@@ -35,8 +35,28 @@ def sinusoid_pos_encoding(n_samples: int, d_hid: int) -> np.ndarray:
     return table
 
 
+class _Kernel(nn.Module):
+    """Bias-free Dense param holder (tree path identical to
+    ``nn.Dense(use_bias=False)``: ``<name>/kernel``) whose weight is used
+    in a fused matmul instead of a standalone layer call."""
+    in_features: int
+    features: int
+
+    @nn.compact
+    def __call__(self) -> Array:
+        return self.param("kernel", nn.initializers.lecun_normal(),
+                          (self.in_features, self.features))
+
+
 class MultiHeadAttention(nn.Module):
-    """Post-LN multi-head attention (reference ``ibrnet.py:52-102``)."""
+    """Post-LN multi-head attention (reference ``ibrnet.py:52-102``).
+
+    Self-attention fast path: when q is k is v (the only way the renderer
+    calls it), the three head projections run as ONE fused matmul against
+    the lane-concatenated [Wq | Wk | Wv] — same math, one lane-padded
+    (N, 3*d_model) intermediate instead of three (N, d_model) ones.
+    Param tree is identical to the separate-Dense formulation.
+    """
     n_head: int = 4
     d_model: int = 16
     d_k: int = 4
@@ -47,12 +67,21 @@ class MultiHeadAttention(nn.Module):
                  mask: Array | None = None) -> Array:
         b, lq, _ = q.shape
         residual = q
-        qh = nn.Dense(self.n_head * self.d_k, use_bias=False,
-                      name="w_qs", dtype=q.dtype)(q).reshape(b, lq, self.n_head, self.d_k)
-        kh = nn.Dense(self.n_head * self.d_k, use_bias=False,
-                      name="w_ks", dtype=q.dtype)(k).reshape(b, -1, self.n_head, self.d_k)
-        vh = nn.Dense(self.n_head * self.d_v, use_bias=False,
-                      name="w_vs", dtype=q.dtype)(v).reshape(b, -1, self.n_head, self.d_v)
+        dm = self.d_model
+        wq = _Kernel(dm, self.n_head * self.d_k, name="w_qs")()
+        wk = _Kernel(dm, self.n_head * self.d_k, name="w_ks")()
+        wv = _Kernel(dm, self.n_head * self.d_v, name="w_vs")()
+        wq, wk, wv = (w.astype(q.dtype) for w in (wq, wk, wv))
+        if q is k and q is v:
+            y = q @ jnp.concatenate([wq, wk, wv], axis=1)
+            nk = self.n_head * self.d_k
+            qh = y[..., :nk].reshape(b, lq, self.n_head, self.d_k)
+            kh = y[..., nk:2 * nk].reshape(b, lq, self.n_head, self.d_k)
+            vh = y[..., 2 * nk:].reshape(b, lq, self.n_head, self.d_v)
+        else:
+            qh = (q @ wq).reshape(b, lq, self.n_head, self.d_k)
+            kh = (k @ wk).reshape(b, -1, self.n_head, self.d_k)
+            vh = (v @ wv).reshape(b, -1, self.n_head, self.d_v)
         qh, kh, vh = (jnp.swapaxes(t, 1, 2) for t in (qh, kh, vh))
         # NOTE: a VPU outer-product-sum reformulation of these scores
         # (avoiding the d_k=4 MXU contraction) measured SLOWER end to end

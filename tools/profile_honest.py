@@ -158,8 +158,8 @@ def main():
             def __call__(self, geo):
                 pos = jnp.asarray(sinusoid_pos_encoding(dn, 16)).astype(
                     geo.dtype)
-                g = MultiHeadAttention(name="ray_attention")(
-                    geo + pos[None], geo + pos[None], geo + pos[None])
+                x = geo + pos[None]
+                g = MultiHeadAttention(name="ray_attention")(x, x, x)
                 return _Seq((16, 1), final_act="relu",
                             name="out_geometry_fc")(g)
 
