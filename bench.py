@@ -69,6 +69,12 @@ def main():
                          "MLPs instead of stats gathered with the row)")
     ap.add_argument("--pallas-agg", action="store_true",
                     help="IBR pooled stage via the fused Pallas kernel")
+    ap.add_argument("--fine-samples", type=int, default=0,
+                    help="fine-pass sample count (0 = 64); agg/gather "
+                         "cost scales linearly — quality A/B in "
+                         "tools/ab_quality (serving_f48 / serving_f32)")
+    ap.add_argument("--coarse-samples", type=int, default=0,
+                    help="coarse-pass sample count (0 = 64)")
     # the coarse pass's blended RGB is discarded in serving (the headline
     # image is the fine pass, fed only by the coarse density importance):
     # skipping its rgb head is bit-exact for the measured output.
@@ -93,6 +99,8 @@ def main():
 
     model = NeuralRayGenRenderer(
         height=H, width=W, depth_hw=(DH, DW),
+        depth_sample_num=args.coarse_samples or 64,
+        fine_depth_sample_num=args.fine_samples or 64,
         fast_gather=args.fast_gather,
         light_coarse=args.light_coarse and not args.diner,
         gather_depth_major=args.depth_major,

@@ -182,6 +182,29 @@ def main():
                     "gather_stride": 4, "gather_stride_fine": 16,
                     "decode_on_map": True, "gather_depth_major": True,
                     "coarse_geometry_only": True},
+        # serving at a reduced FINE sample count: fine samples are
+        # importance-placed near surfaces, and the agg/gather cost scales
+        # linearly with sample count, so this is the direct work-side
+        # lever (the pos-encoding is non-learned: dn=64-trained params
+        # apply unchanged at any fine count)
+        "serving_f48": {"fast_gather": True, "compute_dtype": "bfloat16",
+                        "gather_stride": 4, "gather_stride_fine": 16,
+                        "decode_on_map": True, "gather_depth_major": True,
+                        "coarse_geometry_only": True,
+                        "fine_depth_sample_num": 48},
+        "serving_f32": {"fast_gather": True, "compute_dtype": "bfloat16",
+                        "gather_stride": 4, "gather_stride_fine": 16,
+                        "decode_on_map": True, "gather_depth_major": True,
+                        "coarse_geometry_only": True,
+                        "fine_depth_sample_num": 32},
+        # both passes reduced (coarse importance AND fine integration)
+        "serving_c48f48": {"fast_gather": True, "compute_dtype": "bfloat16",
+                           "gather_stride": 4, "gather_stride_fine": 16,
+                           "decode_on_map": True,
+                           "gather_depth_major": True,
+                           "coarse_geometry_only": True,
+                           "depth_sample_num": 48,
+                           "fine_depth_sample_num": 48},
         # serving + the fused Pallas pooled stage (kernel engages on TPU
         # only; on CPU this renders identically to 'serving')
         "pallas_serving": {"fast_gather": True, "compute_dtype": "bfloat16",
