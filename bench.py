@@ -67,8 +67,6 @@ def main():
                     action="store_false", default=True,
                     help="disable decode-on-map (per-sample dist-decoder "
                          "MLPs instead of stats gathered with the row)")
-    ap.add_argument("--pallas-agg", action="store_true",
-                    help="IBR pooled stage via the fused Pallas kernel")
     ap.add_argument("--fine-samples", type=int, default=0,
                     help="fine-pass sample count (0 = 64); agg/gather "
                          "cost scales linearly — quality A/B in "
@@ -107,7 +105,6 @@ def main():
         gather_stride=args.gather_stride,
         gather_stride_fine=args.gather_stride_fine,
         decode_on_map=args.decode_on_map,
-        pallas_agg=args.pallas_agg,
         coarse_geometry_only=args.coarse_geo_only and not args.diner,
         coarse_proxy_samples=args.proxy_samples,
         compute_dtype="bfloat16" if not on_cpu else "float32")

@@ -102,6 +102,99 @@ class MultiHeadAttention(nn.Module):
         return nn.LayerNorm(epsilon=1e-6, dtype=out.dtype)(out)
 
 
+def _elu(x):
+    return jnp.where(x > 0, x, jnp.exp(jnp.minimum(x, 0.0)) - 1.0)
+
+
+def pool_reference(rgb_feat: Array, neuray_feat: Array, ray_diff: Array,
+                   mask: Array, params: dict,
+                   geometry_only: bool = False) -> tuple:
+    """The per-sample cross-view pooling chain (reference
+    ``ibrnet.py:315-373`` up to, and excluding, the ray attention).
+
+    :param rgb_feat: (N, v, F) with F = in_feat_ch + 3 (e.g. 35);
+        neuray_feat (N, v, 32); ray_diff (N, v, 4); mask (N, v, 1).
+    :return: (geo (N, 16), rgb (N, 3), num_valid (N, 1)).
+
+    Pure XLA by design — this chain is where the per-frame time goes, and
+    the measured TPU result (2026-08-19) is that XLA's fusion of the whole
+    per-chunk pipeline at small chunk sizes beats hand-written Pallas
+    pool kernels end to end: a bf16 sample-row kernel won the ISOLATED
+    stage (3.99 vs 4.93 ms at chunk 2048) but lost the FRAME 2605 vs
+    1410 ms, because the pallas_call boundary (its operand layout/padding)
+    broke XLA's fusion of the surrounding gather/decode/composite chain
+    and forced HBM round-trips.  Two kernel generations were built,
+    measured and culled; do not reintroduce a kernel here without a
+    whole-frame measurement.
+
+    LAYOUT NOTE (measured 2026-08-17): a view-major flat rewrite —
+    every intermediate (v*N, c) instead of (N, v, c), cross-view
+    reductions via row-block slices — was MEASURED SLOWER end to end
+    (2203 vs 1900 ms/frame default; 1905 vs 1606 with decode_on_map):
+    the input transposes + per-view concats cost more than the
+    (N, v=2, c) sublane padding they remove, because XLA keeps most of
+    this chain fused.  Keep the (N, v, c) formulation; the pre-flat twin
+    survives as the regression test `test_pool_flat_matches_nvc_layout`.
+    """
+    p = params
+    eps = 1e-8
+    _sigmoid = jax.nn.sigmoid
+
+    def seq2(name, x, act_last=True):
+        h = _elu(x @ p[name]["w0"] + p[name]["b0"])
+        h = h @ p[name]["w1"] + p[name]["b1"]
+        return _elu(h) if act_last else h
+
+    weight = mask / (jnp.sum(mask, axis=1, keepdims=True) + eps)  # (N,v,1)
+    dirf = seq2("ray_dir_fc", ray_diff)
+    rgb_in = rgb_feat[..., :3]
+    rgbf = rgb_feat + dirf
+
+    w0 = _sigmoid(seq2("neuray_fc", neuray_feat, act_last=False)) * weight
+
+    def mean_var(x, w):
+        m = jnp.sum(x * w, axis=1, keepdims=True)
+        vv = jnp.sum(w * (x - m) ** 2, axis=1, keepdims=True)
+        return m, vv
+
+    mean0, var0 = mean_var(rgbf, w0)
+    mean1, var1 = mean_var(rgbf, weight)
+    gf = jnp.concatenate([mean0, var0, mean1, var1], -1)
+    x = jnp.concatenate([jnp.broadcast_to(gf, (*rgbf.shape[:2],
+                                               gf.shape[-1])),
+                         rgbf, neuray_feat], -1)
+    x = seq2("base_fc", x)
+
+    hv = seq2("vis_fc", x * weight)
+    x_res, vis = hv[..., :-1], hv[..., -1:]
+    vis = _sigmoid(vis) * mask
+    x = x + x_res
+    h2 = _elu((x * vis) @ p["vis_fc2"]["w0"] + p["vis_fc2"]["b0"])
+    vis = _sigmoid(h2 @ p["vis_fc2"]["w1"] + p["vis_fc2"]["b1"]) * mask
+    wgt = vis / (jnp.sum(vis, axis=1, keepdims=True) + eps)
+
+    mean, var = mean_var(x, wgt)
+    g_in = jnp.concatenate([mean[:, 0], var[:, 0],
+                            jnp.mean(wgt, axis=1)], -1)
+    geo = seq2("geometry_fc", g_in)
+    nvalid = jnp.sum(mask[..., 0], axis=1, keepdims=True)
+
+    if geometry_only:
+        # serving coarse pass: its blended RGB is discarded (only the
+        # density/hit-prob importance feeds the fine pass), so skip the
+        # rgb_fc head entirely — bit-exact for the fine image
+        return geo, jnp.zeros((geo.shape[0], 3), geo.dtype), nvalid
+
+    r_in = jnp.concatenate([x, vis, ray_diff], -1)
+    h = _elu(r_in @ p["rgb_fc"]["w0"] + p["rgb_fc"]["b0"])
+    h = _elu(h @ p["rgb_fc"]["w1"] + p["rgb_fc"]["b1"])
+    logit = h @ p["rgb_fc"]["w2"] + p["rgb_fc"]["b2"]
+    logit = jnp.where(mask == 0, -1e9, logit)
+    blend = jax.nn.softmax(logit, axis=1)
+    rgb = jnp.sum(rgb_in * blend, axis=1)
+    return geo, rgb, nvalid
+
+
 class _DenseParams(nn.Module):
     """Parameter-compatible stand-in for ``nn.Dense`` whose weights can be
     either applied in place (XLA path) or handed to the fused Pallas pool
@@ -175,10 +268,6 @@ class IBRNetWithNeuRay(nn.Module):
     in_feat_ch: int = 32
     n_samples: int = 64
 
-    # The fused Pallas pooled-stage kernel is opt-in: with the point-major
-    # layout XLA's fusion already runs the pooled stage at ~11ms/chunk,
-    # while the current kernel's in-kernel lane extension lowers badly.
-    use_pallas: bool = False
     # Skip the view-blended RGB head (serving coarse pass: only the density
     # importance is consumed, so this is bit-exact for the fine image).
     geometry_only: bool = False
@@ -210,26 +299,20 @@ class IBRNetWithNeuRay(nn.Module):
 
     @nn.compact
     def __call__(self, rgb_feat: Array, neuray_feat: Array, ray_diff: Array,
-                 mask: Array, embed_params: dict | None = None) -> Array:
-        """``neuray_feat`` is the 32-ch prob embedding, or — when
-        ``embed_params`` (k0/b0/k1/b1 of the prob-embedding layers) is
-        given — the raw 34-ch [ray_feats | hit | vis] block, embedded
-        inside the pooled stage (kernel or reference twin)."""
-        from panogrf_tpu.ops.pallas.ibr_pool import ibr_pool_op
+                 mask: Array) -> Array:
+        """``neuray_feat`` is the 32-ch prob embedding."""
         nr, dn, v, f = rgb_feat.shape
         nd = self.neuray_in_dim
         params = self._pool_params(f, nd)
         dt = rgb_feat.dtype
-        if embed_params is not None:
-            params["prob_embed"] = embed_params
         params = jax.tree.map(lambda x: x.astype(dt), params)
 
         def flat(t):
             return t.reshape(nr * dn, v, t.shape[-1])
 
-        geo, rgb_out, nvalid = ibr_pool_op(
+        geo, rgb_out, nvalid = pool_reference(
             flat(rgb_feat), flat(neuray_feat), flat(ray_diff), flat(mask),
-            params, self.use_pallas, self.geometry_only)
+            params, self.geometry_only)
         # keep the ray attention in the compute dtype (bf16 inference) —
         # forcing f32 here doubled the attention pass's HBM traffic
         geo = geo.reshape(nr, dn, 16).astype(dt)
@@ -255,7 +338,6 @@ class DefaultAggregationNet(nn.Module):
     n_samples: int = 64
     wo_geometry: bool = False
     wo_appearance: bool = False
-    use_pallas: bool = False
     geometry_only: bool = False
 
     @nn.compact
@@ -279,20 +361,10 @@ class DefaultAggregationNet(nn.Module):
                               name="prob_embed_1")()
         raw = jnp.concatenate([prj_dict["ray_feats"], hit_prob, vis],
                               axis=-1)
-        # fold the embedding into the fused pooled stage when the v2
-        # kernel will run: saves two (N, v, 32) HBM round-trips per pass
-        fold_embed = (self.use_pallas and not self.wo_geometry
-                      and jax.default_backend() == "tpu"
-                      and rfn == 2 and nd_raw == self.neuray_dim)
-        embed_params = None
-        if fold_embed:
-            prob_embedding = raw
-            embed_params = {"k0": k0, "b0": b0, "k1": k1, "b1": b1}
-        else:
-            e = nn.relu(raw @ k0.astype(dt_) + b0.astype(dt_))
-            prob_embedding = e @ k1.astype(dt_) + b1.astype(dt_)
-            if self.wo_geometry:
-                prob_embedding = jnp.zeros_like(prob_embedding)
+        e = nn.relu(raw @ k0.astype(dt_) + b0.astype(dt_))
+        prob_embedding = e @ k1.astype(dt_) + b1.astype(dt_)
+        if self.wo_geometry:
+            prob_embedding = jnp.zeros_like(prob_embedding)
 
         # dir-diff feature (reference ``aggregate_net.py:8-14``) —
         # precomputed in the flat projection layout when available
@@ -318,11 +390,10 @@ class DefaultAggregationNet(nn.Module):
             mask = jnp.ones((qn, rn, dn, rfn, 1), img_feats.dtype)
 
         out = IBRNetWithNeuRay(self.neuray_dim, self.in_feat_ch, dn,
-                               use_pallas=self.use_pallas,
                                geometry_only=self.geometry_only,
                                name="agg_impl")(
             to_rays(img_feats), to_rays(prob_embedding), to_rays(dir_diff),
-            to_rays(mask), embed_params=embed_params)
+            to_rays(mask))
         colors = out[..., :3].reshape(qn, rn, dn, 3)
         density = out[..., 3].reshape(qn, rn, dn)
         return density, colors

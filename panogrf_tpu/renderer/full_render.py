@@ -50,7 +50,8 @@ def render_image_device(model: NeuralRayGenRenderer, params: Any,
                         ref_data: dict, que_c2w: Array,
                         que_depth_range: Array, ref_depth_range: Array,
                         chunk: int = 8192, mode: str = "hierarchical",
-                        n_candidates: int = 128) -> Array:
+                        n_candidates: int = 128, n_uniform: int = 0,
+                        contain_uniform: int = 0) -> Array:
     """Whole-pano render as ONE jitted computation.
 
     The chunk loop runs on-device via ``lax.map`` (compiles the chunk body
@@ -76,6 +77,8 @@ def render_image_device(model: NeuralRayGenRenderer, params: Any,
             out = model.apply(params, ref_data, c, que_c2w,
                               que_depth_range, ref_depth_range,
                               n_candidates=n_candidates,
+                              n_uniform=n_uniform,
+                              contain_uniform=contain_uniform,
                               method=NeuralRayGenRenderer.render_rays_diner)
         else:
             out = model.apply(params, ref_data, c, que_c2w,

@@ -399,3 +399,27 @@ def density2outputs(density: Array, colors: Array, que_depth: Array) -> dict:
     render_depth = jnp.sum(hit_prob * que_depth, axis=-1)
     return {"hit_prob": hit_prob, "pixel_colors": pixel_colors,
             "render_depth": render_depth}
+
+
+def merge_composites(depth_a: Array, colors_a: Array, density_a: Array,
+                     depth_b: Array, colors_b: Array,
+                     density_b: Array) -> tuple:
+    """Merge two independently-rendered sample sets along one ray and
+    re-composite (reference ``merge_uniform_diner``,
+    ``network/renderer.py:526-565``): the union of the per-sample
+    (depth, color, density) triples is sorted by depth and alpha-composited
+    as one ray.  Valid only when both passes ran the SAME decoder/agg
+    (the reference's ``one_mlp`` condition), so densities are comparable.
+
+    :param depth_*: (qn, rn, dn); colors_*: (qn, rn, dn, 3).
+    :return: (que_depth, colors, density, composited-outputs dict) for the
+        sorted union (dn = dn_a + dn_b).
+    """
+    z = jnp.concatenate([depth_a, depth_b], axis=-1)
+    colors = jnp.concatenate([colors_a, colors_b], axis=-2)
+    density = jnp.concatenate([density_a, density_b], axis=-1)
+    order = jnp.argsort(z, axis=-1)
+    z = jnp.take_along_axis(z, order, axis=-1)
+    density = jnp.take_along_axis(density, order, axis=-1)
+    colors = jnp.take_along_axis(colors, order[..., None], axis=-2)
+    return z, colors, density, density2outputs(density, colors, z)

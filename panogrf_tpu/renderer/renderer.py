@@ -115,9 +115,6 @@ class NeuralRayGenRenderer(nn.Module):
     # interpolated features (A/B in tools/ab_quality.py, mode 'dmap').
     # fast_gather only; training paths keep the exact decoders.
     decode_on_map: bool = False
-    # route the IBR pooled stage through the fused Pallas kernel
-    # (ops/pallas/ibr_pool.py) instead of the XLA chain
-    pallas_agg: bool = False
     # serving: skip the COARSE pass's view-blended RGB head — the eval
     # image is the fine pass and the coarse pass feeds it only through the
     # density importance, so the fine output is BIT-EXACT; coarse
@@ -126,6 +123,19 @@ class NeuralRayGenRenderer(nn.Module):
     # pass runs the coarse agg and its colors ARE the output); only
     # applied when hierarchical sampling is on (setup()).
     coarse_geometry_only: bool = False
+
+    # __call__ sampling strategy: 'hierarchical' (coarse+fine, the default
+    # recipe) or 'diner' (depth-guided sampling end to end — the reference
+    # trains this via the diner_depth_guided_sampling cfg flag,
+    # ``renderer.py:570-597``).  'diner' uses the coarse decoder/agg only
+    # and reads mvs_uncert from ref_imgs_info (constant fallback).
+    sampling_mode: str = "hierarchical"
+    diner_n_candidates: int = 128
+    diner_n_gaussian: int = 8
+    # see render_rays_diner: separate-pass merge (reference N_uniform +
+    # merge_uniform_diner) / pre-render union (reference contain_uniform)
+    diner_n_uniform: int = 0
+    diner_contain_uniform: int = 0
 
     # 'ERP' (ResUNetLight) or 'ERP+TP' (dual ERP + tangent-patch encoder,
     # reference local_feature_type / init_net_feature_type knobs,
@@ -156,7 +166,7 @@ class NeuralRayGenRenderer(nn.Module):
         self.dist_decoder = MixtureLogisticsDistDecoder(
             use_vis=self.use_vis, name="dist_decoder")
         self.agg_net = DefaultAggregationNet(
-            n_samples=self.depth_sample_num, use_pallas=self.pallas_agg,
+            n_samples=self.depth_sample_num,
             geometry_only=(self.coarse_geometry_only
                            and self.use_hierarchical_sampling),
             name="agg_net")
@@ -164,8 +174,7 @@ class NeuralRayGenRenderer(nn.Module):
             self.fine_dist_decoder = MixtureLogisticsDistDecoder(
                 use_vis=self.use_vis, name="fine_dist_decoder")
             self.fine_agg_net = DefaultAggregationNet(
-                n_samples=self.fine_depth_sample_num,
-                use_pallas=self.pallas_agg, name="fine_agg_net")
+                n_samples=self.fine_depth_sample_num, name="fine_agg_net")
 
     @property
     def convention(self):
@@ -441,7 +450,9 @@ class NeuralRayGenRenderer(nn.Module):
                           depth_diff_max: float = 0.05,
                           diner_sigma: float = 0.0,
                           rng: Optional[jax.Array] = None,
-                          backface_culling: bool = False) -> dict:
+                          backface_culling: bool = False,
+                          contain_uniform: int = 0,
+                          n_uniform: int = 0) -> dict:
         """DINER occlusion-aware depth-guided rendering (reference
         ``renderer.py:570-597`` + ``original_depth_guided_sample.py``).
 
@@ -451,6 +462,20 @@ class NeuralRayGenRenderer(nn.Module):
         ``backface_culling`` computes per-view MVS normals
         (``depth2normal``) and discards candidates seen from behind
         (reference ``renderer.py:713-714`` + ``render_ops.py:260-290``).
+
+        Two uniform-coverage fallbacks (guided samples alone miss any
+        surface the MVS prior missed):
+
+        * ``contain_uniform`` > 0 concatenates that many uniform coarse
+          samples into the guided set BEFORE the single rendering pass
+          (sorted union — reference ``contain_uniform``/``n_uniform``,
+          ``renderer.py:345-349``).
+        * ``n_uniform`` > 0 renders that many uniform (disparity-spaced)
+          samples in a SECOND pass through the same coarse decoder/agg and
+          merges the two composites by sorted depth union (reference
+          ``N_uniform`` + ``merge_uniform_diner``, ``renderer.py:526-565``
+          invoked at ``:577-583``; its ``one_mlp`` precondition holds here
+          by construction since both passes use ``is_fine=False``).
         """
         from panogrf_tpu.renderer.diner import (project_depth_info,
                                                 sample_depthguided)
@@ -472,9 +497,36 @@ class NeuralRayGenRenderer(nn.Module):
             self.max_depth, depth_diff_max, diner_sigma, rng,
             que_dir=que_dir if backface_culling else None,
             w2c=ref_data["w2c"] if backface_culling else None)
+        if contain_uniform > 0:
+            uni, _ = ro.sample_depth(qn, rn, contain_uniform,
+                                     self.min_depth, self.max_depth,
+                                     use_disp=self.use_disp)
+            que_depth = jnp.sort(
+                jnp.concatenate([que_depth, uni], axis=-1), axis=-1)
         outputs = self.render_by_depth(que_depth, coords, que_c2w,
                                        que_depth_range, ref_data,
                                        ref_depth_range, is_fine=False)
+        if n_uniform > 0:
+            uni, _ = ro.sample_depth(qn, rn, n_uniform, self.min_depth,
+                                     self.max_depth, use_disp=self.use_disp)
+            uni_out = self.render_by_depth(uni, coords, que_c2w,
+                                           que_depth_range, ref_data,
+                                           ref_depth_range, is_fine=False)
+            z, colors, density, comp = ro.merge_composites(
+                outputs["que_depth"], outputs["colors_nr"],
+                outputs["density_nr"], uni_out["que_depth"],
+                uni_out["colors_nr"], uni_out["density_nr"])
+            outputs = dict(outputs)
+            outputs.update(que_depth=z, colors_nr=colors,
+                           density_nr=density,
+                           pixel_colors_nr=comp["pixel_colors"],
+                           hit_prob_nr=comp["hit_prob"])
+            if self.render_depth:
+                outputs["render_depth"] = comp["render_depth"]
+            if self.render_uncert:
+                d = comp["render_depth"][..., None]
+                outputs["render_uncert"] = jnp.sum(
+                    (z - d) ** 2 * comp["hit_prob"], axis=-1) + 1e-5
         # reference appends '_fine' suffixes for the loss/metric stack
         return {**outputs, **{k + "_fine": v for k, v in outputs.items()}}
 
@@ -517,9 +569,22 @@ class NeuralRayGenRenderer(nn.Module):
         que_info = data["que_imgs_info"]
         ref_data = self.prepare_ref(ref_info["imgs"], ref_info["mvs_depth"])
         ref_data["w2c"] = ref_info["w2c"]
-        outputs = self.render_rays(ref_data, que_info["coords"],
-                                   que_info["c2w"], que_info["depth_range"],
-                                   ref_info["depth_range"], rng)
+        if self.sampling_mode == "diner":
+            ref_data["mvs_depth"] = ref_info["mvs_depth"]
+            ref_data["mvs_uncert"] = ref_info.get(
+                "mvs_uncert", 0.04 * jnp.ones_like(ref_info["mvs_depth"]))
+            outputs = self.render_rays_diner(
+                ref_data, que_info["coords"], que_info["c2w"],
+                que_info["depth_range"], ref_info["depth_range"],
+                n_candidates=self.diner_n_candidates,
+                n_gaussian=self.diner_n_gaussian, rng=rng,
+                n_uniform=self.diner_n_uniform,
+                contain_uniform=self.diner_contain_uniform)
+        else:
+            outputs = self.render_rays(ref_data, que_info["coords"],
+                                       que_info["c2w"],
+                                       que_info["depth_range"],
+                                       ref_info["depth_range"], rng)
 
         if self.use_self_hit_prob and "imgs" in que_info and \
                 "mvs_depth" in que_info:
@@ -545,7 +610,8 @@ class NeuralRayGenRenderer(nn.Module):
             gt = ro.gather_at_coords_batched(que_info["imgs"],
                                              que_info["coords"])
             outputs["pixel_colors_gt"] = gt
-            if self.use_hierarchical_sampling:
+            if self.use_hierarchical_sampling or \
+                    self.sampling_mode == "diner":
                 outputs["pixel_colors_gt_fine"] = gt
 
         # ray_mask: all projections valid on the sphere (reference

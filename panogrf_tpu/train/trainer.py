@@ -102,15 +102,24 @@ class Trainer:
 
     def __init__(self, apply_fn: Callable, init_params: Any,
                  cfg: TrainerConfig, val_fn: Optional[Callable] = None,
-                 log_fn: Optional[Callable] = None):
+                 log_fn: Optional[Callable] = None, mesh: Any = None):
+        """``mesh``: optional ``jax.sharding.Mesh`` with a 'ray' axis —
+        the trainer then replicates params/opt state across it and shards
+        every per-ray batch array (tree key 'coords') on that axis; XLA
+        inserts the gradient psum over ICI (SURVEY §2.8; the reference has
+        nothing here — multi-GPU raises, ``train/trainer.py:233-236``)."""
         self.cfg = cfg
         self.apply_fn = apply_fn
         self.val_fn = val_fn
         self.log_fn = log_fn or (lambda step, m: None)
+        self.mesh = mesh
         self.tx, self.schedule = make_optimizer(cfg)
         self.state = TrainState(step=jnp.zeros((), jnp.int32),
                                 params=init_params,
                                 opt_state=self.tx.init(init_params))
+        if mesh is not None:
+            from panogrf_tpu.parallel.sharded_train import replicate_tree
+            self.state = replicate_tree(mesh, self.state)
         self.train_step = make_train_step(apply_fn, cfg, self.tx)
         self.best_metric = -float("inf")
         self._ckpt_dir = Path(cfg.save_dir) / cfg.name
@@ -163,6 +172,9 @@ class Trainer:
             if i >= num_steps:
                 break
             rng, sub = jax.random.split(rng)
+            if self.mesh is not None:
+                from panogrf_tpu.parallel.sharded_train import place_batch
+                batch = place_batch(self.mesh, batch)
             self.state, metrics = self.train_step(self.state, batch, sub)
             step = int(self.state.step)
             if step % self.cfg.log_interval == 0 or i == 0:

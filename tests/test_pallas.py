@@ -57,8 +57,8 @@ def test_mlp2_batched_shape():
 
 
 def _pool_nvc(rgb_feat, neuray_feat, ray_diff, mask, params):
-    """The pre-flat (N, v, c)-layout pooled stage, kept as the numeric
-    reference for the view-major flat rewrite in ibr_pool.pool_reference
+    """Independently-written (N, v, c)-layout pooled stage, kept as the
+    numeric twin for agg_net.pool_reference
     (reference ``ibrnet.py:315-373``)."""
     import jax
     import jax.numpy as jnp
@@ -114,11 +114,11 @@ def _pool_nvc(rgb_feat, neuray_feat, ray_diff, mask, params):
 
 @pytest.mark.parametrize("v", [2, 3])
 def test_pool_flat_matches_nvc_layout(v):
-    """pool_reference's view-major flat layout is numerically identical
-    to the (N, v, c) formulation, including fully-masked rows."""
+    """pool_reference is numerically identical to the independent (N, v, c)
+    twin above, including fully-masked rows."""
     import numpy as np
     import jax.numpy as jnp
-    from panogrf_tpu.ops.pallas.ibr_pool import pool_reference
+    from panogrf_tpu.renderer.agg_net import pool_reference
     rng = np.random.default_rng(0)
     n, f, nd = 64, 35, 32
     params = {}
@@ -148,70 +148,17 @@ def test_pool_flat_matches_nvc_layout(v):
                                    rtol=2e-5, atol=2e-5)
 
 
-def test_pool2_matches_reference():
-    """ibr_pool2 (one row per sample, views in lane halves, packed
-    block-diagonal weights) matches pool_reference in interpret mode,
-    including fully-masked rows."""
-    import numpy as np
-    import jax.numpy as jnp
-    from panogrf_tpu.ops.pallas.ibr_pool import pool_reference
-    from panogrf_tpu.ops.pallas.ibr_pool2 import ibr_pool2
-    rng = np.random.default_rng(1)
-    n, v, f, nd = 96, 2, 35, 32
-    params = {}
-    shapes = {"ray_dir_fc": [(4, 16), (16, f)],
-              "neuray_fc": [(nd, 8), (8, 1)],
-              "base_fc": [(4 * f + f + nd, 64), (64, 32)],
-              "vis_fc": [(32, 32), (32, 33)],
-              "vis_fc2": [(32, 32), (32, 1)],
-              "geometry_fc": [(65, 64), (64, 16)],
-              "rgb_fc": [(32 + 1 + 4, 16), (16, 8), (8, 1)]}
-    for name, dims in shapes.items():
-        params[name] = {}
-        for i, (a, b) in enumerate(dims):
-            params[name][f"w{i}"] = jnp.asarray(
-                rng.normal(0, 0.2, (a, b)), jnp.float32)
-            params[name][f"b{i}"] = jnp.asarray(
-                rng.normal(0, 0.1, (b,)), jnp.float32)
-    rgbf = jnp.asarray(rng.normal(size=(n, v, f)), jnp.float32)
-    nray = jnp.asarray(rng.normal(size=(n, v, nd)), jnp.float32)
-    rdiff = jnp.asarray(rng.normal(size=(n, v, 4)), jnp.float32)
-    mask = jnp.asarray(rng.integers(0, 2, (n, v, 1)), jnp.float32)
-    mask = mask.at[:4].set(0.0)
-    a = pool_reference(rgbf, nray, rdiff, mask, params)
-    b = ibr_pool2(rgbf, nray, rdiff, mask, params, block_rows=32,
-                  interpret=True)
-    for x, y in zip(a, b):
-        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
-                                   rtol=3e-5, atol=3e-5)
-
-    # serving path: bf16 operands (weights/inputs in bf16, f32 accumulation
-    # inside the kernel) must track the bf16 XLA reference — the kernel's
-    # per-matmul f32 accumulators make it slightly MORE precise, so compare
-    # both against the f32 truth with a bf16-scale tolerance.
-    bf = jnp.bfloat16
-    params_bf = {k: {kk: vv.astype(bf) for kk, vv in v.items()}
-                 for k, v in params.items()}
-    b16 = ibr_pool2(rgbf.astype(bf), nray.astype(bf), rdiff.astype(bf),
-                    mask.astype(bf), params_bf, block_rows=32,
-                    interpret=True)
-    for x, y in zip(a, b16):
-        err = np.abs(np.asarray(x) - np.asarray(y, np.float32))
-        scale = np.abs(np.asarray(x)).mean() + 1e-3
-        assert err.mean() / scale < 0.05, (err.mean(), scale)
-
-
-def test_pool2_embed_in_kernel_matches_reference():
-    """Embed-in-kernel mode (raw [ray_feats | hit | vis] rows, the two
-    prob-embedding Dense layers run inside the kernel) matches the
-    XLA-embed + pool_reference composition."""
+def test_pool_reference_differentiable():
+    """pool_reference carries nonzero gradients to every parameter group
+    (the Pallas pool kernels were culled after the whole-frame TPU
+    measurement — see agg_net.pool_reference docstring — so plain jax.grad
+    through the XLA chain is the one backward path)."""
     import numpy as np
     import jax
     import jax.numpy as jnp
-    from panogrf_tpu.ops.pallas.ibr_pool import pool_reference, ibr_pool_op
-    from panogrf_tpu.ops.pallas.ibr_pool2 import ibr_pool2
+    from panogrf_tpu.renderer.agg_net import pool_reference
     rng = np.random.default_rng(7)
-    n, v, f, nd = 96, 2, 35, 32
+    n, v, f, nd = 32, 2, 35, 32
     shapes = {"ray_dir_fc": [(4, 16), (16, f)],
               "neuray_fc": [(nd, 8), (8, 1)],
               "base_fc": [(4 * f + f + nd, 64), (64, 32)],
@@ -227,32 +174,13 @@ def test_pool2_embed_in_kernel_matches_reference():
                 rng.normal(0, 0.2, (a_, b_)), jnp.float32)
             params[name][f"b{i}"] = jnp.asarray(
                 rng.normal(0, 0.1, (b_,)), jnp.float32)
-    pe = {"k0": jnp.asarray(rng.normal(0, 0.2, (nd + 2, nd)), jnp.float32),
-          "b0": jnp.asarray(rng.normal(0, 0.1, (nd,)), jnp.float32),
-          "k1": jnp.asarray(rng.normal(0, 0.2, (nd, nd)), jnp.float32),
-          "b1": jnp.asarray(rng.normal(0, 0.1, (nd,)), jnp.float32)}
     rgbf = jnp.asarray(rng.normal(size=(n, v, f)), jnp.float32)
-    raw = jnp.asarray(rng.normal(size=(n, v, nd + 2)), jnp.float32)
+    nray = jnp.asarray(rng.normal(size=(n, v, nd)), jnp.float32)
     rdiff = jnp.asarray(rng.normal(size=(n, v, 4)), jnp.float32)
-    mask = jnp.asarray(rng.integers(0, 2, (n, v, 1)), jnp.float32)
-    mask = mask.at[:3].set(1.0)
+    mask = jnp.ones((n, v, 1), jnp.float32)
 
-    emb = jax.nn.relu(raw @ pe["k0"] + pe["b0"]) @ pe["k1"] + pe["b1"]
-    ref = pool_reference(rgbf, emb, rdiff, mask, params)
-
-    pk = dict(params)
-    pk["prob_embed"] = pe
-    got = ibr_pool2(rgbf, raw, rdiff, mask, pk, block_rows=32,
-                    interpret=True)
-    for x, y in zip(ref, got):
-        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
-                                   rtol=2e-4, atol=2e-4)
-    # reference twin takes the same embed-in params
-    got2 = pool_reference(rgbf, raw, rdiff, mask, pk)
-    for x, y in zip(ref, got2):
-        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
-                                   rtol=1e-5, atol=1e-5)
-    # differentiable through ibr_pool_op (reference backward)
-    g = jax.grad(lambda p: sum(jnp.sum(t) for t in ibr_pool_op(
-        rgbf, raw, rdiff, mask, p, False, False)[:2]))(pk)
-    assert float(jnp.abs(g["prob_embed"]["k0"]).sum()) > 0.0
+    g = jax.grad(lambda p: sum(jnp.sum(t) for t in pool_reference(
+        rgbf, nray, rdiff, mask, p)[:2]))(params)
+    for name in shapes:
+        total = sum(float(jnp.abs(x).sum()) for x in g[name].values())
+        assert total > 0.0, name

@@ -373,11 +373,10 @@ def test_coarse_geometry_only_fine_bit_exact():
 
 
 def test_pool_geometry_only_matches_full():
-    """pool_reference/ibr_pool2 geometry_only: geo + nvalid identical to
-    the full pool, rgb zeroed."""
+    """pool_reference geometry_only: geo + nvalid identical to the full
+    pool, rgb zeroed."""
     import numpy as np
-    from panogrf_tpu.ops.pallas.ibr_pool import pool_reference
-    from panogrf_tpu.ops.pallas.ibr_pool2 import ibr_pool2
+    from panogrf_tpu.renderer.agg_net import pool_reference
     rng = np.random.default_rng(4)
     n, v, f, nd = 64, 2, 35, 32
     shapes = {"ray_dir_fc": [(4, 16), (16, f)],
@@ -404,9 +403,3 @@ def test_pool_geometry_only_matches_full():
     np.testing.assert_array_equal(np.asarray(g_full), np.asarray(g_geo))
     np.testing.assert_array_equal(np.asarray(nv_full), np.asarray(nv_geo))
     assert float(jnp.abs(rgb_geo).max()) == 0.0
-    g2, rgb2, nv2 = ibr_pool2(rgbf, nray, rdif, mask, params,
-                              block_rows=32, interpret=True,
-                              geometry_only=True)
-    np.testing.assert_allclose(np.asarray(g_full), np.asarray(g2),
-                               rtol=3e-5, atol=3e-5)
-    assert float(jnp.abs(rgb2).max()) == 0.0

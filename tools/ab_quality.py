@@ -44,6 +44,13 @@ def main():
     ap.add_argument("--proxy-samples", type=int, default=0)
     ap.add_argument("--modes", default="exact,fast_gather,bf16,"
                                        "light_coarse,diner")
+    ap.add_argument("--train-mode", default="hierarchical",
+                    help="from-scratch training sampler: 'hierarchical' "
+                         "or 'diner[N][_muK|_cuK]' (trains the renderer "
+                         "under DINER depth-guided sampling, the "
+                         "reference's diner_depth_guided_sampling flag; "
+                         "eval --modes must then be diner-family only — "
+                         "the fine decoder/agg params do not exist)")
     ap.add_argument("--save-ckpt", default=None,
                     help="save the from-scratch-trained params here "
                          "(orbax) so later mode runs can reuse --ckpt")
@@ -69,11 +76,25 @@ def main():
     DH, DW = args.depth_height, args.depth_width
     dn = args.samples
 
+    train_kw = {}
+    if args.train_mode != "hierarchical":
+        import re as _re2
+        g = _re2.fullmatch(r"diner(\d*)(?:_(mu|cu)(\d+))?", args.train_mode)
+        assert g, f"bad --train-mode {args.train_mode}"
+        train_kw = {
+            "sampling_mode": "diner",
+            "use_hierarchical_sampling": False,
+            "diner_n_candidates": int(g.group(1)) if g.group(1) else 128,
+            "diner_n_uniform": int(g.group(3)) if g.group(2) == "mu" else 0,
+            "diner_contain_uniform":
+                int(g.group(3)) if g.group(2) == "cu" else 0,
+        }
+
     def make_model(**kw):
         base_kw = dict(
             height=H, width=W, depth_hw=(DH, DW), depth_sample_num=dn,
             fine_depth_sample_num=dn,
-            coarse_proxy_samples=args.proxy_samples)
+            coarse_proxy_samples=args.proxy_samples, **train_kw)
         base_kw.update(kw)
         return NeuralRayGenRenderer(**base_kw)
 
@@ -205,13 +226,6 @@ def main():
                            "coarse_geometry_only": True,
                            "depth_sample_num": 48,
                            "fine_depth_sample_num": 48},
-        # serving + the fused Pallas pooled stage (kernel engages on TPU
-        # only; on CPU this renders identically to 'serving')
-        "pallas_serving": {"fast_gather": True, "compute_dtype": "bfloat16",
-                           "gather_stride": 4, "gather_stride_fine": 16,
-                           "decode_on_map": True, "gather_depth_major": True,
-                           "coarse_geometry_only": True,
-                           "pallas_agg": True},
         "diner": {"fast_gather": True, "compute_dtype": "bfloat16"},
         # the reference's DINER development traces use 1000 candidates
         # (original_depth_guided_sample.py inline shapes); at 128 the
@@ -219,6 +233,16 @@ def main():
         # most rays fall back to uniform fill
         "diner1000": {"fast_gather": True, "compute_dtype": "bfloat16"},
     }
+    # DINER mode grammar: diner[N][_muK | _cuK] — N candidates (default
+    # 128), _muK merges a separate K-sample uniform pass (reference
+    # merge_uniform_diner), _cuK unions K uniform samples pre-render
+    # (reference contain_uniform).
+    import re as _re
+    for mode in args.modes.split(","):
+        m = _re.fullmatch(r"diner(\d*)(?:_(mu|cu)(\d+))?", mode)
+        if m and mode not in mode_cfgs:
+            mode_cfgs[mode] = {"fast_gather": True,
+                               "compute_dtype": "bfloat16"}
     # NOTE: 'light_coarse' now decodes the FULL-res upsampled map under
     # fast_gather (renderer.prepare_ref); the recorded -6.9 dB was the
     # 1/4-res variant — re-run before citing.
@@ -242,6 +266,10 @@ def main():
             c2w = imgs_info.c2w_from_w2c(
                 imgs_info.pose_w2c(s["rots"], s["trans"])[q][None])[0]
             if mode.startswith("diner"):
+                g = _re.fullmatch(r"diner(\d*)(?:_(mu|cu)(\d+))?", mode)
+                n_cand = int(g.group(1)) if g.group(1) else 128
+                n_uni = int(g.group(3)) if g.group(2) == "mu" else 0
+                c_uni = int(g.group(3)) if g.group(2) == "cu" else 0
                 ref_data = full_render.prepare_ref_data(model, params,
                                                         ref_info)
                 ref_data["mvs_depth"] = ref_info["mvs_depth"]
@@ -251,7 +279,8 @@ def main():
                     model, params, ref_data, c2w,
                     jnp.asarray([[0.5, 15.0]]), ref_info["depth_range"],
                     chunk=min(2048, H * W), mode="diner",
-                    n_candidates=int(mode[5:]) if mode[5:] else 128)
+                    n_candidates=n_cand, n_uniform=n_uni,
+                    contain_uniform=c_uni)
                 out = {"rgb": rgb}
             else:
                 out = full_render.render_image(

@@ -175,10 +175,10 @@ def main():
                                            name="attn_tail_ms")
 
     if want("pool"):
-        # pooled stage in isolation: XLA reference vs the Pallas v2
-        # sample-row kernel (ops/pallas/ibr_pool2.py)
-        from panogrf_tpu.ops.pallas.ibr_pool import (ibr_pool_op,
-                                                     pool_reference)
+        # pooled stage in isolation (the XLA chain; the Pallas pool
+        # kernels were measured — isolated win, whole-frame loss — and
+        # culled, see agg_net.pool_reference docstring)
+        from panogrf_tpu.renderer.agg_net import pool_reference
         n = rn * dn
         prng = np.random.default_rng(1)
         pool_params = {}
@@ -201,20 +201,14 @@ def main():
         rdif0 = jnp.asarray(prng.normal(size=(n, 2, 4)), dt)
         mask0 = jnp.ones((n, 2, 1), dt)
 
-        def mk(use_pallas):
-            def g(rgbf):
-                geo, rgb, nv = ibr_pool_op(rgbf, nray0, rdif0, mask0,
-                                           pool_params, use_pallas)
-                upd = geo[..., :1] + rgb[..., :1]
-                return rgbf + (1e-6 * upd[:, None]).astype(rgbf.dtype)
-            return g
+        def g_pool(rgbf):
+            geo, rgb, nv = pool_reference(rgbf, nray0, rdif0, mask0,
+                                          pool_params)
+            upd = geo[..., :1] + rgb[..., :1]
+            return rgbf + (1e-6 * upd[:, None]).astype(rgbf.dtype)
 
-        res["pool_xla_ms"] = timeit_chain(mk(False), rgbf0, iters=4,
+        res["pool_xla_ms"] = timeit_chain(g_pool, rgbf0, iters=4,
                                           name="pool_xla_ms")
-        if jax.default_backend() == "tpu":
-            res["pool_pallas2_ms"] = timeit_chain(mk(True), rgbf0,
-                                                  iters=4,
-                                                  name="pool_pallas2_ms")
 
     # --- projection math ----------------------------------------------------
     w2c = jnp.broadcast_to(

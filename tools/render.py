@@ -87,6 +87,12 @@ def main():
     ap.add_argument("--depth-stack", action="store_true",
                     help="run the depth stack even without checkpoints "
                          "(random weights; smoke/debug only)")
+    ap.add_argument("--mesh", type=int, default=0, metavar="N",
+                    help="shard the pano's rays across an N-device "
+                         "('data','ray') mesh — each chip renders H*W/N "
+                         "rays, the only collective is the image gather "
+                         "(SURVEY §2.8; with --cpu this uses N virtual "
+                         "CPU devices)")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
     args.fast_gather = not args.exact
@@ -95,6 +101,8 @@ def main():
     if args.cpu:
         import jax
         jax.config.update("jax_platforms", "cpu")
+        if args.mesh:
+            jax.config.update("jax_num_cpu_devices", args.mesh)
     import jax
     import jax.numpy as jnp
 
@@ -138,6 +146,12 @@ def main():
         from panogrf_tpu.train.trainer import load_checkpoint_params
         params = load_checkpoint_params(args.ckpt)
         print(f"restored {args.ckpt}")
+
+    mesh = None
+    if args.mesh:
+        from panogrf_tpu.parallel.mesh import make_mesh
+        mesh = make_mesh(args.mesh)
+        print(f"rendering on mesh {dict(mesh.shape)}")
 
     from panogrf_tpu.renderer import poses as P
 
@@ -218,10 +232,20 @@ def main():
             continue
 
         t0 = time.perf_counter()
-        out = full_render.render_image(
-            model, params, ref_info, data["que_imgs_info"]["c2w"],
-            data["que_imgs_info"]["depth_range"],
-            chunk=min(8192, H * W))
+        if mesh is not None:
+            from panogrf_tpu.parallel.sharded_render import \
+                render_image_sharded
+            ref_data = full_render.prepare_ref_data(model, params, ref_info)
+            rgb = render_image_sharded(
+                model, params, ref_data, data["que_imgs_info"]["c2w"],
+                data["que_imgs_info"]["depth_range"],
+                ref_info["depth_range"], mesh)
+            out = {"rgb": rgb}
+        else:
+            out = full_render.render_image(
+                model, params, ref_info, data["que_imgs_info"]["c2w"],
+                data["que_imgs_info"]["depth_range"],
+                chunk=min(8192, H * W))
         jax.block_until_ready(out["rgb"])
         dt = time.perf_counter() - t0
         gt = s["rgb_panos"][imgs_info.QUE_ID]

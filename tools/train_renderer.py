@@ -39,6 +39,12 @@ def main():
     ap.add_argument("--pool", type=int, default=16,
                     help="procedural scene pool size (no-shards mode)")
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--mesh", type=int, default=0, metavar="N",
+                    help="data-parallel-over-rays training on an N-device "
+                         "('data','ray') mesh: params replicated, the 512 "
+                         "query rays of each step sharded across N "
+                         "devices, gradient psum over ICI (SURVEY §2.8; "
+                         "with --cpu this uses N virtual CPU devices)")
     ap.add_argument("--mv", type=int, default=0, metavar="V",
                     help="multi-view training with V>2 views (reference "
                          "run_training_mv.py protocol: refs = "
@@ -48,6 +54,8 @@ def main():
     if args.cpu:
         import jax
         jax.config.update("jax_platforms", "cpu")
+        if args.mesh:
+            jax.config.update("jax_num_cpu_devices", args.mesh)
     import jax
     import jax.numpy as jnp
 
@@ -247,7 +255,14 @@ def main():
         print(f"step {step} ({time.time()-t0:.0f}s): "
               + " ".join(f"{k}={v:.4f}" for k, v in m.items()))
 
-    trainer = Trainer(apply_fn, params, tc, val_fn=val_fn, log_fn=log)
+    mesh = None
+    if args.mesh:
+        from panogrf_tpu.parallel.mesh import make_mesh
+        mesh = make_mesh(args.mesh)
+        print(f"training on mesh {dict(mesh.shape)}")
+
+    trainer = Trainer(apply_fn, params, tc, val_fn=val_fn, log_fn=log,
+                      mesh=mesh)
     trainer.fit(stream, key_metric="psnr_nr")
     trainer.save("latest")
     print("done")
