@@ -23,18 +23,20 @@ import jax.numpy as jnp
 
 def main():
     ap = argparse.ArgumentParser()
+    # The blessed operating points live in panogrf_tpu/renderer/presets.py
+    # (exact / serving / turbo); individual flags below OVERRIDE the
+    # preset when given explicitly.
+    ap.add_argument("--preset", default="serving",
+                    choices=["exact", "serving", "turbo"])
     ap.add_argument("--chunk", type=int, default=None)
-    # fast_gather is quality-neutral on trained checkpoints (A/B on the
-    # synthetic eval: 33.313 vs 33.293 PSNR) and ~1.5x faster -> default.
     ap.add_argument("--no-fast-gather", dest="fast_gather",
-                    action="store_false", default=True)
+                    action="store_false", default=None)
     ap.add_argument("--diner", action="store_true",
                     help="depth-guided (DINER) sampling operating point: "
                          "64 guided samples, no fine pass — the "
                          "reference's own low-sample mode")
     # light_coarse measured -6.9 dB PSNR on the trained-checkpoint A/B
-    # (AB_QUALITY_r3.json) -> opt-in only; the headline stays on the
-    # quality-neutral fast_gather+bf16 operating point.
+    # (AB_QUALITY_r3.json) -> opt-in only.
     ap.add_argument("--light-coarse", dest="light_coarse",
                     action="store_true", default=False,
                     help="proxy coarse pass (importance from the decoded "
@@ -43,50 +45,42 @@ def main():
     ap.add_argument("--proxy-samples", type=int, default=0,
                     help="coarse sample count for the proxy pass "
                          "(0 = depth_sample_num)")
-    # depth-major row order is bit-exact vs ray-major and measured
-    # strictly faster (3418 -> 3179 ms at stride 1) -> default on.
     ap.add_argument("--no-depth-major", dest="depth_major",
-                    action="store_false", default=True,
+                    action="store_false", default=None,
                     help="gather rows in (ray, sample) order instead of "
-                         "the default (sample, ray) near-sequential order")
-    # stride-4 epipolar feature interpolation measured -0.04 dB on the
-    # trained-checkpoint A/B (AB_QUALITY_r3.json "s4") -> serving default.
-    ap.add_argument("--gather-stride", type=int, default=4,
+                         "the (sample, ray) near-sequential order")
+    ap.add_argument("--gather-stride", type=int, default=None,
                     help="fetch merged-map rows at every S-th depth sample "
                          "and interpolate in between (epipolar feature "
                          "interpolation; quality A/B in tools/ab_quality)")
-    # fine samples are importance-resampled around surfaces, so fine
-    # stride is nearly free: f8 -0.001 dB vs f4, f16 +-0 dB, f32
-    # -0.24 dB (AB_QUALITY_r3.json dmap_s4f* family) -> default 16.
-    ap.add_argument("--gather-stride-fine", type=int, default=16,
+    ap.add_argument("--gather-stride-fine", type=int, default=None,
                     help="separate stride for the fine pass "
                          "(0 = same as --gather-stride)")
-    # decode-on-map measured -0.03 dB on the trained-checkpoint A/B
-    # ("dmap") and removes the per-sample MLP chain -> serving default.
     ap.add_argument("--no-decode-on-map", dest="decode_on_map",
-                    action="store_false", default=True,
+                    action="store_false", default=None,
                     help="disable decode-on-map (per-sample dist-decoder "
                          "MLPs instead of stats gathered with the row)")
     ap.add_argument("--fine-samples", type=int, default=0,
-                    help="fine-pass sample count (0 = 64); agg/gather "
+                    help="fine-pass sample count (0 = preset); agg/gather "
                          "cost scales linearly — quality A/B in "
                          "tools/ab_quality (serving_f48 / serving_f32)")
     ap.add_argument("--coarse-samples", type=int, default=0,
                     help="coarse-pass sample count (0 = 64)")
-    # the coarse pass's blended RGB is discarded in serving (the headline
-    # image is the fine pass, fed only by the coarse density importance):
-    # skipping its rgb head is bit-exact for the measured output.
     ap.add_argument("--no-coarse-geometry-only", dest="coarse_geo_only",
-                    action="store_false", default=True,
+                    action="store_false", default=None,
                     help="keep the coarse pass's (discarded) RGB head")
     ap.add_argument("--with-depth-stack", action="store_true",
                     help="also time the per-scene cost: frozen mono+MVS "
                          "depth inference + reference-view encoding "
                          "(amortized across all frames of a scene; "
                          "reported as scene_prep_ms)")
+    ap.add_argument("--no-roofline", dest="roofline", action="store_false",
+                    default=True,
+                    help="skip the per-stage MFU/roofline measurement")
     args = ap.parse_args()
     from panogrf_tpu.renderer.renderer import NeuralRayGenRenderer
     from panogrf_tpu.renderer import full_render
+    from panogrf_tpu.renderer.presets import preset_kwargs, PRESET_CHUNK
 
     H, W = 512, 1024
     DH, DW = 256, 512
@@ -95,19 +89,25 @@ def main():
     if on_cpu:  # keep CI sane; the driver runs this on the real chip
         H, W, DH, DW = 64, 128, 32, 64
 
-    model = NeuralRayGenRenderer(
-        height=H, width=W, depth_hw=(DH, DW),
-        depth_sample_num=args.coarse_samples or 64,
-        fine_depth_sample_num=args.fine_samples or 64,
+    kw = preset_kwargs(
+        args.preset,
         fast_gather=args.fast_gather,
-        light_coarse=args.light_coarse and not args.diner,
         gather_depth_major=args.depth_major,
         gather_stride=args.gather_stride,
         gather_stride_fine=args.gather_stride_fine,
         decode_on_map=args.decode_on_map,
-        coarse_geometry_only=args.coarse_geo_only and not args.diner,
+        coarse_geometry_only=(args.coarse_geo_only and not args.diner)
+        if (args.coarse_geo_only is not None or args.diner) else None,
+        fine_depth_sample_num=args.fine_samples or None,
+        depth_sample_num=args.coarse_samples or None,
+        compute_dtype="float32" if on_cpu else None)
+    if args.diner:
+        kw["coarse_geometry_only"] = False
+    model = NeuralRayGenRenderer(
+        height=H, width=W, depth_hw=(DH, DW),
+        light_coarse=args.light_coarse and not args.diner,
         coarse_proxy_samples=args.proxy_samples,
-        compute_dtype="bfloat16" if not on_cpu else "float32")
+        **kw)
     rng = np.random.default_rng(0)
     ref_info = {
         "imgs": jnp.asarray(rng.uniform(size=(rfn, H, W, 3)), jnp.float32),
@@ -129,10 +129,11 @@ def main():
 
     c2w = data["que_imgs_info"]["c2w"]
     qdr = data["que_imgs_info"]["depth_range"]
-    # Measured sweep (fast_gather): 2048->4.53s, 1024->4.05, 512->3.54,
-    # 256->3.47, 128->3.43 (opt), 64->3.65 s/frame — small chunks let XLA
-    # keep the whole per-chunk pipeline in VMEM.
-    chunk = args.chunk or 128
+    # Chunk sweeps move as the pipeline slims: round-2 (pre-stride,
+    # pre-decode-on-map) optimum was 128 (3.43 s); at the round-4 serving
+    # point (stride 4/16 + decode-on-map + base_fc row-block split) the
+    # re-sweep gave 128->1402, 256->1340, 512->1311 (opt), 1024->1441 ms.
+    chunk = args.chunk or PRESET_CHUNK[args.preset]
 
     ref_data = full_render.prepare_ref_data(model, params, ref_info)
     mode = "diner" if args.diner else "hierarchical"
@@ -173,6 +174,8 @@ def main():
         else f"novel_pano_render_{H}x{W}_cpu"
     if args.diner:
         name += "_diner"
+    if args.preset != "serving":
+        name += f"_{args.preset}"
     result = {
         "metric": name,
         "value": round(sec * 1000.0, 2),
@@ -180,6 +183,86 @@ def main():
         "vs_baseline": round(baseline_sec / sec, 3),
         "rays_per_sec": int(rays_per_sec),
     }
+
+    if args.roofline and not args.diner:
+        # MFU/roofline accounting (utils/roofline.py): measure the two
+        # dominant stages in isolation at the serving chunk and price them
+        # against the chip's published peaks + the measured gather-row
+        # latency model.  agg stage = prob-embed->pool->attention->heads;
+        # gather stage = the strided merged-map row fetches of both passes.
+        from panogrf_tpu.utils import roofline as rl
+        from panogrf_tpu.renderer.agg_net import DefaultAggregationNet
+        from panogrf_tpu.ops.resample import interpolate_feats_pointmajor
+
+        def time_chain(step, init, iters=4):
+            step_j = jax.jit(step)
+            out = step_j(init)
+            tot = jax.jit(lambda o: sum(jnp.sum(x.astype(jnp.float32))
+                                        for x in jax.tree.leaves(o)))
+            _ = float(tot(out))
+            t0 = time.perf_counter()
+            o = init
+            for _ in range(iters):
+                o = step_j(o)
+            _ = float(tot(o))
+            dt = time.perf_counter() - t0
+            return max(dt / iters - rtt / iters, 1e-9)
+
+        dn = kw.get("fine_depth_sample_num", 64)
+        cdt = jnp.dtype(kw["compute_dtype"])
+        rng2 = np.random.default_rng(1)
+        f0 = jnp.asarray(rng2.normal(size=(1, chunk, dn, rfn, 32)) * 0.3,
+                         cdt)
+        prj = {"ray_feats": f0, "rgb": f0[..., :3], "img_feats": f0,
+               "dir": f0[..., :3].astype(jnp.float32),
+               "hit_prob": f0[..., :1], "vis": f0[..., :1],
+               "alpha": f0[..., :1]}
+        qd = jnp.ones((1, chunk, dn, 3), cdt)
+        agg = DefaultAggregationNet(n_samples=dn)
+        avars = jax.jit(agg.init)(jax.random.PRNGKey(0), prj, qd)
+
+        def g_agg(p):
+            density, _ = agg.apply(avars, p, qd)
+            upd = (1e-6 * density[..., None, None]).astype(cdt)
+            return {k: v + upd.astype(v.dtype) if v.shape[-1] == 1 else v
+                    for k, v in p.items()}
+
+        agg_chunk_s = time_chain(g_agg, prj)
+
+        row_ch = 3 + 64 + (10 if kw["decode_on_map"] else 0)
+        merged = jnp.asarray(rng2.uniform(size=(rfn, H, W, row_ch)), cdt)
+        s_c, s_f = kw["gather_stride"], (kw["gather_stride_fine"]
+                                         or kw["gather_stride"])
+        n_rows = chunk * (64 // s_c + (dn + s_f - 1) // s_f)
+        pts0 = jnp.asarray(rng2.uniform(0, 500, size=(rfn, n_rows, 2)),
+                           jnp.float32)
+
+        def g_gather(pts):
+            v = interpolate_feats_pointmajor(merged, pts, H, W)
+            return (pts + v[..., :2].astype(jnp.float32).swapaxes(0, 1)
+                    * 1e-6) % 509
+
+        gather_chunk_s = time_chain(g_gather, pts0)
+
+        n_chunks = H * W / chunk
+        # frame agg time: the coarse pass is geometry_only (slightly
+        # cheaper than the timed full pass) — treat both as the timed one
+        agg_s = agg_chunk_s * n_chunks * 2
+        gather_s = gather_chunk_s * n_chunks
+        fm = rl.frame_model(H, W, dn_fine=dn, stride=s_c, stride_fine=s_f,
+                            v=rfn, dtype=kw["compute_dtype"])
+        ach = rl.achieved(fm, agg_s, gather_s)
+        result.update({
+            "agg_ms": round(agg_s * 1000, 1),
+            "gather_ms": round(gather_s * 1000, 1),
+            "agg_tflops": round(fm["agg_flops"] / 1e12, 3),
+            "agg_mfu": round(ach["agg_mfu"], 4),
+            "agg_hbm_frac": round(ach["agg_hbm_frac"], 3),
+            "gather_rows_M": round(fm["gather_rows"] / 1e6, 1),
+            "gather_hbm_frac": round(ach["gather_hbm_frac"], 3),
+            "gather_latency_model_frac": [
+                round(x, 2) for x in ach["gather_latency_model_frac"]],
+        })
 
     if args.with_depth_stack:
         # Per-SCENE cost the frame loop amortizes: frozen UniFuse + MVS

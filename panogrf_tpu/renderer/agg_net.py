@@ -159,11 +159,20 @@ def pool_reference(rgb_feat: Array, neuray_feat: Array, ray_diff: Array,
 
     mean0, var0 = mean_var(rgbf, w0)
     mean1, var1 = mean_var(rgbf, weight)
-    gf = jnp.concatenate([mean0, var0, mean1, var1], -1)
-    x = jnp.concatenate([jnp.broadcast_to(gf, (*rgbf.shape[:2],
-                                               gf.shape[-1])),
-                         rgbf, neuray_feat], -1)
-    x = seq2("base_fc", x)
+    # base_fc layer 0 over [mean0|var0|mean1|var1 | rgbf | neuray]: the
+    # first 4 segments are PER-POINT (broadcast to every view in the
+    # reference concat, ``ibrnet.py:334-338``) — run them as one
+    # per-point matmul against the top row-block of w0 and add the
+    # per-view part, instead of materializing the (N, v, 207) concat.
+    # Same math (row-block decomposition of one matmul); for v=2 it cuts
+    # the dominant matmul's row count 414 -> 274 per point.
+    f = rgbf.shape[-1]
+    bw0, bb0 = p["base_fc"]["w0"], p["base_fc"]["b0"]
+    gf = jnp.concatenate([mean0[:, 0], var0[:, 0], mean1[:, 0],
+                          var1[:, 0]], -1)                  # (N, 4f)
+    xv = jnp.concatenate([rgbf, neuray_feat], -1)           # (N, v, f+nd)
+    h = _elu((gf @ bw0[:4 * f])[:, None] + xv @ bw0[4 * f:] + bb0)
+    x = _elu(h @ p["base_fc"]["w1"] + p["base_fc"]["b1"])
 
     hv = seq2("vis_fc", x * weight)
     x_res, vis = hv[..., :-1], hv[..., -1:]

@@ -26,7 +26,12 @@ def _randomize(module, seed):
     g = torch.Generator().manual_seed(seed)
     with torch.no_grad():
         for p in module.parameters():
-            p.copy_(torch.randn(p.shape, generator=g) * 0.2)
+            # fan-in-scaled std keeps activations O(1) through deep stacks
+            # (constant-std weights explode ~sqrt(fan_in) per layer, which
+            # would drown float32 parity in catastrophic amplification)
+            std = 0.2 if p.dim() < 2 else 0.6 / float(
+                p.numel() / p.shape[0]) ** 0.5
+            p.copy_(torch.randn(p.shape, generator=g) * std)
         for name, b in module.named_buffers():
             if name.endswith("running_mean"):
                 b.copy_(torch.randn(b.shape, generator=g) * 0.1)
@@ -182,3 +187,122 @@ def test_agg_net_sequentials_real_state_dict():
                                   prj, que_dir)
     assert np.isfinite(np.asarray(density)).all()
     assert np.isfinite(np.asarray(colors)).all()
+
+
+def test_full_agg_chain_numeric_parity():
+    """WHOLE aggregation chain torch vs flax (VERDICT r3 item 4): prob
+    embed -> pooled IBRNet stages -> ray attention -> sigma/rgb, plus the
+    alpha compositing — numerics through ``convert_agg_net``.  Catches any
+    composition-order bug the per-stack tests can't (fused qkv, base_fc
+    row-block split, point-major layout)."""
+    from panogrf_tpu.renderer.agg_net import DefaultAggregationNet
+    from panogrf_tpu.renderer import render_ops as ro
+
+    qn, rn, dn, rfn = 1, 6, 8, 2
+    tm = sk.TorchDefaultAggregationNet(n_samples=dn)
+    _randomize(tm, 7)
+    tm.eval()
+    sd = _np_sd(tm, "agg_net.")
+    p = tc.convert_agg_net(sd, "agg_net")
+
+    rng = np.random.default_rng(8)
+    # reference layout (rfn, qn, rn, dn, c)
+    t_prj = {
+        "hit_prob": rng.uniform(size=(rfn, qn, rn, dn, 1)),
+        "vis": rng.uniform(size=(rfn, qn, rn, dn, 1)),
+        "rgb": rng.uniform(size=(rfn, qn, rn, dn, 3)),
+        "dir": rng.normal(size=(rfn, qn, rn, dn, 3)),
+        "ray_feats": rng.normal(size=(rfn, qn, rn, dn, 32)) * 0.4,
+        "img_feats": rng.normal(size=(rfn, qn, rn, dn, 32)) * 0.4,
+    }
+    t_prj = {k: v.astype(np.float32) for k, v in t_prj.items()}
+    que_dir = rng.normal(size=(qn, rn, dn, 3)).astype(np.float32)
+    que_depth = np.sort(rng.uniform(0.5, 10.0, size=(qn, rn, dn))
+                        ).astype(np.float32)
+
+    with torch.no_grad():
+        dens_t, col_t = tm({k: torch.from_numpy(v)
+                            for k, v in t_prj.items()},
+                           torch.from_numpy(que_dir))
+        # compositing mirror (reference renderer.py:216 +
+        # render_ops.py:145-153)
+        alpha = 1.0 - torch.exp(-torch.relu(dens_t))
+        no_hit = torch.cat([torch.ones_like(alpha[..., :1]),
+                            1.0 - alpha + 1e-10], -1)
+        hit_t = alpha * torch.cumprod(no_hit, -1)[..., :-1]
+        pix_t = torch.sum(hit_t.unsqueeze(-1) * col_t, dim=2)
+
+    # point-major for flax
+    f_prj = {k: jnp.asarray(np.moveaxis(v, 0, 3))
+             for k, v in t_prj.items()}
+    model = DefaultAggregationNet(n_samples=dn)
+    dens_f, col_f = model.apply({"params": jax.tree.map(jnp.asarray, p)},
+                                f_prj, jnp.asarray(que_dir))
+    comp = ro.density2outputs(dens_f, col_f, jnp.asarray(que_depth))
+
+    np.testing.assert_allclose(np.asarray(dens_f), dens_t.numpy(),
+                               atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(col_f), col_t.numpy(),
+                               atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(comp["pixel_colors"]),
+                               pix_t.numpy(), atol=1e-4, rtol=1e-4)
+
+
+def test_full_unifuse_numeric_parity():
+    """Complete tiny-res UniFuse forward torch vs flax through
+    ``convert_unifuse`` (VERDICT r3 item 4): both encoders, per-level
+    Cube2Equirec fusion, decoder ladder, sigmoid depth head and the
+    mono_feat tap the MVS stack consumes."""
+    from panogrf_tpu.models.unifuse import UniFuse
+
+    h, w = 64, 128
+    tm = sk.TorchUniFuse(h, w)
+    _randomize(tm, 9)
+    tm.eval()
+    sd = _np_sd(tm)
+    converted = tc.convert_unifuse(sd, fusion_type="cee")
+
+    rng = np.random.default_rng(10)
+    equi = rng.normal(size=(1, h, w, 3)).astype(np.float32)
+    cube = rng.normal(size=(1, 6, h // 2, h // 2, 3)).astype(np.float32)
+    # torch takes the horizontal strip (B, C, fw, 6*fw), face order FRBLUD
+    strip = np.concatenate([cube[:, i] for i in range(6)], axis=2)
+
+    with torch.no_grad():
+        out_t = tm(torch.from_numpy(equi.transpose(0, 3, 1, 2)),
+                   torch.from_numpy(strip.transpose(0, 3, 1, 2)))
+
+    model = UniFuse(wrap=False)
+    out_f = model.apply(jax.tree.map(jnp.asarray, converted),
+                        jnp.asarray(equi), jnp.asarray(cube))
+    np.testing.assert_allclose(
+        np.asarray(out_f["pred_depth"]),
+        out_t["pred_depth"].numpy().transpose(0, 2, 3, 1),
+        atol=2e-4, rtol=2e-4)
+    np.testing.assert_allclose(
+        np.asarray(out_f["mono_feat"]),
+        out_t["mono_feat"].numpy().transpose(0, 2, 3, 1),
+        atol=2e-4, rtol=2e-4)
+
+
+def test_lpips_numeric_parity():
+    """LPIPS scoring stack torch vs flax through ``convert_torch_lpips``
+    (VERDICT r3 item 5): a recreated torch VGG16+lin LPIPS (default
+    random init) and the converted flax net agree numerically."""
+    from panogrf_tpu.train import lpips as L
+
+    tm = sk.TorchLPIPSVgg()
+    tm.eval()
+    sd = _np_sd(tm)
+    variables = L.convert_torch_lpips(sd, sd)
+
+    rng = np.random.default_rng(11)
+    a = (rng.uniform(size=(2, 64, 64, 3)) * 2 - 1).astype(np.float32)
+    b = np.clip(a + rng.normal(size=a.shape).astype(np.float32) * 0.2,
+                -1, 1).astype(np.float32)
+    with torch.no_grad():
+        s_t = tm(torch.from_numpy(a.transpose(0, 3, 1, 2)),
+                 torch.from_numpy(b.transpose(0, 3, 1, 2)))
+    s_f = L.LPIPS().apply(variables, jnp.asarray(a), jnp.asarray(b))
+    np.testing.assert_allclose(np.asarray(s_f), s_t.numpy(),
+                               atol=1e-4, rtol=1e-3)

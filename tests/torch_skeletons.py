@@ -204,31 +204,363 @@ class TorchMixtureLogisticsDistDecoder(nn.Module):
 
 # ---------------------------------------------------------------------------
 # aggregation net linear stacks (reference network/ibrnet.py:239-320 —
-# every stack is nn.Sequential(Linear, act, Linear[, act, Linear]))
+# every stack is nn.Sequential(Linear, act, Linear[, act, Linear]) with
+# act = nn.ELU (``ibrnet.py:246``); prob_embed uses ReLU
+# (``aggregate_net.py:35-39``).  Trailing activation modules carry no
+# parameters, so the state-dict key layout is unchanged by them — but the
+# FORWARD-parity tests need them exact.
 # ---------------------------------------------------------------------------
 
 def build_agg_sequentials(neuray_dim=32, in_feat_ch=32):
     f = in_feat_ch + 3
+    act = nn.ELU(inplace=True)
     mods = {
         "prob_embed": nn.Sequential(
             nn.Linear(neuray_dim + 2, 32), nn.ReLU(), nn.Linear(32, 32)),
         "ray_dir_fc": nn.Sequential(
-            nn.Linear(4, 16), nn.ReLU(), nn.Linear(16, f)),
+            nn.Linear(4, 16), act, nn.Linear(16, f), act),
         "base_fc": nn.Sequential(
-            nn.Linear(f * 5 + neuray_dim, 64), nn.ReLU(),
-            nn.Linear(64, 32)),
+            nn.Linear(f * 5 + neuray_dim, 64), act,
+            nn.Linear(64, 32), act),
         "vis_fc": nn.Sequential(
-            nn.Linear(32, 32), nn.ReLU(), nn.Linear(32, 33)),
+            nn.Linear(32, 32), act, nn.Linear(32, 33), act),
         "vis_fc2": nn.Sequential(
-            nn.Linear(32, 32), nn.ReLU(), nn.Linear(32, 1)),
+            nn.Linear(32, 32), act, nn.Linear(32, 1), nn.Sigmoid()),
         "geometry_fc": nn.Sequential(
-            nn.Linear(65, 64), nn.ReLU(), nn.Linear(64, 16)),
+            nn.Linear(65, 64), act, nn.Linear(64, 16), act),
         "neuray_fc": nn.Sequential(
-            nn.Linear(neuray_dim, 8), nn.ReLU(), nn.Linear(8, 1)),
+            nn.Linear(neuray_dim, 8), act, nn.Linear(8, 1)),
         "out_geometry_fc": nn.Sequential(
-            nn.Linear(16, 16), nn.ReLU(), nn.Linear(16, 1)),
+            nn.Linear(16, 16), act, nn.Linear(16, 1), nn.ReLU()),
         "rgb_fc": nn.Sequential(
-            nn.Linear(32 + 1 + 4, 16), nn.ReLU(), nn.Linear(16, 8),
-            nn.ReLU(), nn.Linear(8, 1)),
+            nn.Linear(32 + 1 + 4, 16), act, nn.Linear(16, 8),
+            act, nn.Linear(8, 1)),
     }
     return mods
+
+
+# ---------------------------------------------------------------------------
+# full IBRNet-with-NeuRay forward (reference network/ibrnet.py:7-102 +
+# 239-373) — the torch side of the whole-aggregation-chain parity test
+# ---------------------------------------------------------------------------
+
+class TorchScaledDotProductAttention(nn.Module):
+    """reference ``ibrnet.py:7-27``."""
+
+    def __init__(self, temperature):
+        super().__init__()
+        self.temperature = temperature
+
+    def forward(self, q, k, v, mask=None):
+        attn = torch.matmul(q / self.temperature, k.transpose(2, 3))
+        if mask is not None:
+            attn = attn.masked_fill(mask == 0, -1e9)
+        attn = F.softmax(attn, dim=-1)
+        return torch.matmul(attn, v), attn
+
+
+class TorchMultiHeadAttention(nn.Module):
+    """reference ``ibrnet.py:52-102`` (post-LN, bias-free projections)."""
+
+    def __init__(self, n_head=4, d_model=16, d_k=4, d_v=4):
+        super().__init__()
+        self.n_head, self.d_k, self.d_v = n_head, d_k, d_v
+        self.w_qs = nn.Linear(d_model, n_head * d_k, bias=False)
+        self.w_ks = nn.Linear(d_model, n_head * d_k, bias=False)
+        self.w_vs = nn.Linear(d_model, n_head * d_v, bias=False)
+        self.fc = nn.Linear(n_head * d_v, d_model, bias=False)
+        self.attention = TorchScaledDotProductAttention(d_k ** 0.5)
+        self.layer_norm = nn.LayerNorm(d_model, eps=1e-6)
+
+    def forward(self, q, k, v, mask=None):
+        b, lq = q.shape[0], q.shape[1]
+        residual = q
+        q = self.w_qs(q).view(b, lq, self.n_head, self.d_k).transpose(1, 2)
+        k = self.w_ks(k).view(b, -1, self.n_head, self.d_k).transpose(1, 2)
+        v = self.w_vs(v).view(b, -1, self.n_head, self.d_v).transpose(1, 2)
+        if mask is not None:
+            mask = mask.unsqueeze(1)
+        out, _ = self.attention(q, k, v, mask=mask)
+        out = out.transpose(1, 2).contiguous().view(b, lq, -1)
+        return self.layer_norm(self.fc(out) + residual)
+
+
+def _fused_mean_variance(x, weight):
+    """reference ``ibrnet.py:231-236``."""
+    mean = torch.sum(x * weight, dim=2, keepdim=True)
+    var = torch.sum(weight * (x - mean) ** 2, dim=2, keepdim=True)
+    return mean, var
+
+
+class TorchIBRNetWithNeuRay(nn.Module):
+    """Complete forward of reference ``ibrnet.py:239-373``
+    (anti_alias_pooling=False as constructed by aggregate_net)."""
+
+    def __init__(self, neuray_in_dim=32, in_feat_ch=32, n_samples=8):
+        super().__init__()
+        mods = build_agg_sequentials(neuray_in_dim, in_feat_ch)
+        mods.pop("prob_embed")          # lives on the outer agg net
+        for name, m in mods.items():
+            setattr(self, name, m)
+        self.ray_attention = TorchMultiHeadAttention(4, 16, 4, 4)
+        import numpy as _np
+        pos = _np.array([[p / _np.power(10000, 2 * (j // 2) / 16)
+                          for j in range(16)] for p in range(n_samples)])
+        pos[:, 0::2] = _np.sin(pos[:, 0::2])
+        pos[:, 1::2] = _np.cos(pos[:, 1::2])
+        self.register_buffer("pos_encoding",
+                             torch.from_numpy(pos).float().unsqueeze(0))
+
+    def forward(self, rgb_feat, neuray_feat, ray_diff, mask):
+        direction_feat = self.ray_dir_fc(ray_diff)
+        rgb_in = rgb_feat[..., :3]
+        rgb_feat = rgb_feat + direction_feat
+        weight = mask / (torch.sum(mask, dim=2, keepdim=True) + 1e-8)
+
+        weight0 = torch.sigmoid(self.neuray_fc(neuray_feat)) * weight
+        mean0, var0 = _fused_mean_variance(rgb_feat, weight0)
+        mean1, var1 = _fused_mean_variance(rgb_feat, weight)
+        globalfeat = torch.cat([mean0, var0, mean1, var1], dim=-1)
+        x = torch.cat([globalfeat.expand(-1, -1, rgb_feat.shape[2], -1),
+                       rgb_feat, neuray_feat], dim=-1)
+        x = self.base_fc(x)
+
+        x_vis = self.vis_fc(x * weight)
+        x_res, vis = torch.split(x_vis, [x_vis.shape[-1] - 1, 1], dim=-1)
+        vis = torch.sigmoid(vis) * mask
+        x = x + x_res
+        vis = self.vis_fc2(x * vis) * mask
+        weight = vis / (torch.sum(vis, dim=2, keepdim=True) + 1e-8)
+
+        mean, var = _fused_mean_variance(x, weight)
+        globalfeat = torch.cat([mean.squeeze(2), var.squeeze(2),
+                                weight.mean(dim=2)], dim=-1)
+        globalfeat = self.geometry_fc(globalfeat)
+        num_valid_obs = torch.sum(mask, dim=2)
+        globalfeat = globalfeat + self.pos_encoding
+        globalfeat = self.ray_attention(
+            globalfeat, globalfeat, globalfeat,
+            mask=(num_valid_obs > 1).float())
+        sigma = self.out_geometry_fc(globalfeat)
+        sigma_out = sigma.masked_fill(num_valid_obs < 1, 0.0)
+
+        x = torch.cat([x, vis, ray_diff], dim=-1)
+        x = self.rgb_fc(x)
+        x = x.masked_fill(mask == 0, -1e9)
+        blend = F.softmax(x, dim=2)
+        rgb_out = torch.sum(rgb_in * blend, dim=2)
+        return torch.cat([rgb_out, sigma_out], dim=-1)
+
+
+class TorchDefaultAggregationNet(nn.Module):
+    """Complete forward of reference ``aggregate_net.py:16-89``
+    (prob-embed + dir-diff + IBRNetWithNeuRay) in the reference's
+    rfn-major layout."""
+
+    def __init__(self, neuray_dim=32, in_feat_ch=32, n_samples=8):
+        super().__init__()
+        self.agg_impl = TorchIBRNetWithNeuRay(neuray_dim, in_feat_ch,
+                                              n_samples)
+        self.prob_embed = nn.Sequential(
+            nn.Linear(2 + 32, neuray_dim), nn.ReLU(),
+            nn.Linear(neuray_dim, neuray_dim))
+
+    def forward(self, prj_dict, que_dir):
+        hit = (prj_dict["hit_prob"] - 0.5) * 2
+        vis = (prj_dict["vis"] - 0.5) * 2
+        rfn, qn, rn, dn, _ = hit.shape
+        emb = self.prob_embed(
+            torch.cat([prj_dict["ray_feats"], hit, vis], -1))
+        prj_dir, que = prj_dict["dir"], que_dir
+        dir_diff = prj_dir - que.unsqueeze(0)
+        dir_dot = torch.sum(prj_dir * que.unsqueeze(0), -1, keepdim=True)
+        dir_diff = torch.cat([dir_diff, dir_dot], -1)
+        dir_diff = dir_diff.reshape(rfn, qn * rn, dn, -1).permute(1, 2, 0, 3)
+        img_feats = torch.cat([prj_dict["rgb"], prj_dict["img_feats"]], -1)
+        img_feats = img_feats.reshape(rfn, qn * rn, dn, -1).permute(1, 2, 0, 3)
+        emb = emb.reshape(rfn, qn * rn, dn, -1).permute(1, 2, 0, 3)
+        mask = torch.ones((qn * rn, dn, rfn, 1))
+        outs = self.agg_impl(img_feats, emb, dir_diff, mask)
+        return (outs[..., 3].reshape(qn, rn, dn),
+                outs[..., :3].reshape(qn, rn, dn, 3))
+
+
+# ---------------------------------------------------------------------------
+# UniFuse full forward (reference UniFuse…/networks/unifuse.py:96-203 +
+# layers.py:71-159 Cube2Equirec) — torch side of the whole-model parity test
+# ---------------------------------------------------------------------------
+
+class TorchCube2Equirec(nn.Module):
+    """reference ``UniFuse…/networks/layers.py:71-159``: face assignment +
+    gnomonic uv as a 3D grid_sample over the (6, fw, fw) face volume (the
+    face index rides the depth coordinate at exact integer planes)."""
+
+    def __init__(self, face_w, equ_h, equ_w):
+        super().__init__()
+        import numpy as np
+        self.face_w = face_w
+        tp = np.roll(np.arange(4).repeat(equ_w // 4)[None, :].repeat(
+            equ_h, 0), 3 * equ_w // 8, 1)
+        mask = np.zeros((equ_h, equ_w // 4), bool)
+        idx = np.linspace(-np.pi, np.pi, equ_w // 4) / 4
+        idx = equ_h // 2 - np.round(
+            np.arctan(np.cos(idx)) * equ_h / np.pi).astype(int)
+        for i, j in enumerate(idx):
+            mask[:j, i] = 1
+        mask = np.roll(np.concatenate([mask] * 4, 1), 3 * equ_w // 8, 1)
+        tp[mask] = 4
+        tp[np.flip(mask, 0)] = 5
+
+        lon = ((np.linspace(0, equ_w - 1, num=equ_w, dtype=np.float32)
+                + 0.5) / equ_w - 0.5) * 2 * np.pi
+        lat = -((np.linspace(0, equ_h - 1, num=equ_h, dtype=np.float32)
+                 + 0.5) / equ_h - 0.5) * np.pi
+        lon, lat = np.meshgrid(lon, lat)
+        coor_u = np.zeros((equ_h, equ_w), np.float32)
+        coor_v = np.zeros((equ_h, equ_w), np.float32)
+        for i in range(4):
+            m = tp == i
+            coor_u[m] = 0.5 * np.tan(lon[m] - np.pi * i / 2)
+            coor_v[m] = -0.5 * np.tan(lat[m]) / np.cos(lon[m] - np.pi * i / 2)
+        m = tp == 4
+        c = 0.5 * np.tan(np.pi / 2 - lat[m])
+        coor_u[m] = c * np.sin(lon[m])
+        coor_v[m] = c * np.cos(lon[m])
+        m = tp == 5
+        c = 0.5 * np.tan(np.pi / 2 - np.abs(lat[m]))
+        coor_u[m] = c * np.sin(lon[m])
+        coor_v[m] = -c * np.cos(lon[m])
+        coor_u = np.clip(coor_u, -0.5, 0.5) * 2
+        coor_v = np.clip(coor_v, -0.5, 0.5) * 2
+        grid = torch.stack([torch.from_numpy(coor_u),
+                            torch.from_numpy(coor_v),
+                            torch.from_numpy(tp.astype(np.float32) / 2.5
+                                             - 1)], dim=-1)
+        self.register_buffer("sample_grid",
+                             grid.view(1, 1, equ_h, equ_w, 3))
+
+    def forward(self, cube_feat):
+        # cube_feat: (B, C, fw, 6*fw) horizontal strip
+        bs, ch = cube_feat.shape[:2]
+        cube_feat = cube_feat.view(bs, ch, 1, self.face_w, -1)
+        cube_feat = torch.cat(
+            torch.split(cube_feat, self.face_w, dim=-1), dim=2)
+        grid = self.sample_grid.expand(bs, -1, -1, -1, -1)
+        out = F.grid_sample(cube_feat, grid, padding_mode="border",
+                            align_corners=True)
+        return out.squeeze(2)
+
+
+class TorchUniFuse(nn.Module):
+    """Complete tiny-res UniFuse forward (reference
+    ``UniFuse…/networks/unifuse.py:30-203``, CEE fusion, resnet18)."""
+
+    def __init__(self, equi_h, equi_w, max_depth=10.0):
+        super().__init__()
+        self.equi_encoder = TorchResNet18()
+        self.cube_encoder = TorchResNet18()
+        self.equi_decoder, self.order = build_unifuse_decoder()
+        self.dec = dict(zip(self.order, self.equi_decoder))
+        self.cube_h = equi_h // 2
+        # encoder feature at level lvl has stride 2**lvl, so the cube face
+        # width there is cube_h >> lvl (cube input is equi_h // 2)
+        self.c2e = {
+            str(lvl): TorchCube2Equirec(self.cube_h >> lvl,
+                                        equi_h >> lvl, equi_w >> lvl)
+            for lvl in (5, 4, 3, 2, 1)}
+        self.max_depth = max_depth
+
+    def forward(self, equi, cube_strip):
+        ee, ce = self.equi_encoder, self.cube_encoder
+        equi_feats = ee(equi)
+        cube_in = torch.cat(torch.split(cube_strip, self.cube_h, dim=-1),
+                            dim=0)
+        cube_feats = ce(cube_in)
+        b = equi.shape[0]
+
+        def c2e(feat, lvl):
+            strip = torch.cat(torch.split(feat, b, dim=0), dim=-1)
+            return self.c2e[str(lvl)](strip)
+
+        d = self.dec
+        up = lambda t: F.interpolate(t, scale_factor=2, mode="nearest")
+        x = d["fusion_5"](equi_feats[4], c2e(cube_feats[4], 5))
+        x = up(d["upconv_5"](x))
+        f3 = d["fusion_4"](equi_feats[3], c2e(cube_feats[3], 4))
+        x = d["deconv_4"](torch.cat([x, f3], 1))
+        x = up(d["upconv_4"](x))
+        f2 = d["fusion_3"](equi_feats[2], c2e(cube_feats[2], 3))
+        x = d["deconv_3"](torch.cat([x, f2], 1))
+        x = up(d["upconv_3"](x))
+        f1 = d["fusion_2"](equi_feats[1], c2e(cube_feats[1], 2))
+        x = d["deconv_2"](torch.cat([x, f1], 1))
+        x = up(d["upconv_2"](x))
+        f0 = d["fusion_1"](equi_feats[0], c2e(cube_feats[0], 1))
+        x = d["deconv_1"](torch.cat([x, f0], 1))
+        mono_feat = x
+        x = up(d["upconv_1"](x))
+        x = d["deconv_0"](x)
+        out = d["depthconv_0"](x)
+        return {"pred_depth": self.max_depth * torch.sigmoid(out),
+                "mono_feat": mono_feat}
+
+
+# ---------------------------------------------------------------------------
+# LPIPS (VGG16) — reference scoring stack eval.py:16,25-27 uses
+# lpips.LPIPS(net='vgg'): torchvision VGG16 features tapped at
+# relu{1_2,2_2,3_3,4_3,5_3}, unit-normalize, squared diff, 1x1 lin heads,
+# spatial mean, summed.  This recreation's state_dict carries BOTH key
+# families the converter consumes (features.N.* and linK.model.1.weight).
+# ---------------------------------------------------------------------------
+
+class _TorchNetLin(nn.Module):
+    """lpips NetLinLayer: Dropout + 1x1 conv, keys ``model.1.weight``."""
+
+    def __init__(self, c):
+        super().__init__()
+        self.model = nn.Sequential(nn.Dropout(), nn.Conv2d(c, 1, 1,
+                                                           bias=False))
+
+
+class TorchLPIPSVgg(nn.Module):
+    _CFG = [64, 64, "M", 128, 128, "M", 256, 256, 256, "M",
+            512, 512, 512, "M", 512, 512, 512]
+    _TAPS = (3, 8, 15, 22, 29)   # relu1_2 / 2_2 / 3_3 / 4_3 / 5_3
+
+    def __init__(self):
+        super().__init__()
+        layers, in_c = [], 3
+        for v in self._CFG:
+            if v == "M":
+                layers.append(nn.MaxPool2d(2, 2))
+            else:
+                layers += [nn.Conv2d(in_c, v, 3, padding=1), nn.ReLU()]
+                in_c = v
+        layers.append(nn.MaxPool2d(2, 2))  # torchvision tail (past taps)
+        self.features = nn.Sequential(*layers)
+        for i, c in enumerate((64, 128, 256, 512, 512)):
+            setattr(self, f"lin{i}", _TorchNetLin(c))
+        self.register_buffer("shift", torch.tensor(
+            [-0.030, -0.088, -0.188]).view(1, 3, 1, 1))
+        self.register_buffer("scale", torch.tensor(
+            [0.458, 0.448, 0.450]).view(1, 3, 1, 1))
+
+    def forward(self, img0, img1):
+        """img0/img1: NCHW in [-1, 1] -> (N,) distances."""
+        def taps(x):
+            x = (x - self.shift) / self.scale
+            out = []
+            for i, layer in enumerate(self.features):
+                x = layer(x)
+                if i in self._TAPS:
+                    out.append(x)
+            return out
+
+        total = 0.0
+        for i, (a, b) in enumerate(zip(taps(img0), taps(img1))):
+            a = a / torch.sqrt(torch.sum(a * a, 1, keepdim=True) + 1e-10)
+            b = b / torch.sqrt(torch.sum(b * b, 1, keepdim=True) + 1e-10)
+            d = (a - b) ** 2
+            lin = getattr(self, f"lin{i}").model[1]
+            total = total + lin(d).mean(dim=(2, 3))
+        return total[:, 0]

@@ -70,6 +70,7 @@ def main():
     from panogrf_tpu.nn.blocks import resize_linear
     from panogrf_tpu.renderer.renderer import NeuralRayGenRenderer
     from panogrf_tpu.renderer import full_render
+    from panogrf_tpu.renderer.presets import PRESETS
     from panogrf_tpu.train import metrics as M
 
     H, W = args.height, args.width
@@ -197,12 +198,10 @@ def main():
         "dmap_s4f32": {"fast_gather": True, "compute_dtype": "bfloat16",
                        "gather_stride": 4, "gather_stride_fine": 32,
                        "decode_on_map": True},
-        # bench.py's exact serving operating point (dmap + s4/f16 +
-        # depth-major + coarse rgb head skipped)
-        "serving": {"fast_gather": True, "compute_dtype": "bfloat16",
-                    "gather_stride": 4, "gather_stride_fine": 16,
-                    "decode_on_map": True, "gather_depth_major": True,
-                    "coarse_geometry_only": True},
+        # the blessed operating points, single-sourced from
+        # renderer/presets.py (what bench.py/render.py --preset run)
+        "serving": dict(PRESETS["serving"]),
+        "turbo": dict(PRESETS["turbo"]),
         # serving at a reduced FINE sample count: fine samples are
         # importance-placed near surfaces, and the agg/gather cost scales
         # linearly with sample count, so this is the direct work-side

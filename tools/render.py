@@ -54,27 +54,31 @@ def main():
     ap.add_argument("--lpips-weights", default=None)
     ap.add_argument("--no-skip", action="store_true",
                     help="re-render frames even if the file exists")
-    # Serving configuration: fast_gather + bf16 are the documented serving
-    # defaults (same operating point bench.py measures); --exact restores
-    # reference-exact numerics (float32, per-map gathers).
+    # Serving configuration: the blessed operating points live in
+    # panogrf_tpu/renderer/presets.py (exact / serving / turbo); the
+    # individual flags below OVERRIDE the preset when given explicitly.
+    ap.add_argument("--preset", default="serving",
+                    choices=["exact", "serving", "turbo"],
+                    help="named operating point (renderer/presets.py): "
+                         "'exact' = reference-exact numerics (float32, "
+                         "per-map gathers); 'serving' = the shipped "
+                         "quality-neutral point (-0.03 dB A/B); 'turbo' "
+                         "= fastest documented usable point")
     ap.add_argument("--exact", action="store_true",
-                    help="exact numerics: float32 + per-map gathers "
-                         "(serving default is fast-gather + bf16)")
-    ap.add_argument("--gather-stride", type=int, default=4,
-                    help="epipolar feature interpolation stride (fetch "
-                         "map rows every S-th sample, lerp in between; "
-                         "-0.04 dB at S=4 on the trained-checkpoint A/B; "
-                         "--exact or S=1 disables)")
-    ap.add_argument("--gather-stride-fine", type=int, default=16,
-                    help="separate stride for the fine pass (0 = same "
-                         "as --gather-stride; default 16: quality-"
-                         "neutral on the trained-checkpoint A/B, f32 "
-                         "loses 0.24 dB)")
+                    help="alias for --preset exact (kept for round-2/3 "
+                         "command lines)")
+    ap.add_argument("--gather-stride", type=int, default=None,
+                    help="override the preset's epipolar feature "
+                         "interpolation stride (fetch map rows every "
+                         "S-th sample, lerp in between; -0.04 dB at S=4 "
+                         "on the trained-checkpoint A/B)")
+    ap.add_argument("--gather-stride-fine", type=int, default=None,
+                    help="override the preset's fine-pass stride "
+                         "(0 = same as --gather-stride)")
     ap.add_argument("--no-decode-on-map", dest="decode_on_map",
-                    action="store_false", default=True,
-                    help="disable decode-on-map (default on: dist-"
-                         "decoder heads precomputed on the map, -0.03 dB "
-                         "on the A/B; --exact also disables)")
+                    action="store_false", default=None,
+                    help="disable decode-on-map (dist-decoder heads "
+                         "precomputed on the map, -0.03 dB on the A/B)")
     ap.add_argument("--mono-ckpt", default=None,
                     help="UniFuse checkpoint (orbax dir or torch .pth) — "
                          "enables the composed mono->MVS->renderer "
@@ -95,8 +99,8 @@ def main():
                          "CPU devices)")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
-    args.fast_gather = not args.exact
-    args.bf16 = not args.exact
+    if args.exact:
+        args.preset = "exact"
 
     if args.cpu:
         import jax
@@ -114,21 +118,16 @@ def main():
     from panogrf_tpu.renderer import full_render
     from panogrf_tpu.train import metrics as M
 
+    from panogrf_tpu.renderer.presets import preset_kwargs
+
     H, W = args.height, args.width
     DH, DW = args.depth_height, args.depth_width
-    model = NeuralRayGenRenderer(
-        height=H, width=W, depth_hw=(DH, DW),
-        fast_gather=args.fast_gather,
-        # depth-major row order is numerics-identical (bit-exact) and
-        # strictly faster on TPU; strided gather stays opt-in
-        gather_depth_major=not args.exact,
-        gather_stride=args.gather_stride if not args.exact else 1,
-        gather_stride_fine=args.gather_stride_fine if not args.exact else 0,
-        decode_on_map=args.decode_on_map and not args.exact,
-        # coarse RGB head skipped when serving: the saved/evaluated image
-        # is the fine pass, which this leaves bit-exact
-        coarse_geometry_only=not args.exact,
-        compute_dtype="bfloat16" if args.bf16 else "float32")
+    kw = preset_kwargs(args.preset,
+                       gather_stride=args.gather_stride,
+                       gather_stride_fine=args.gather_stride_fine,
+                       decode_on_map=args.decode_on_map,
+                       compute_dtype="float32" if args.cpu else None)
+    model = NeuralRayGenRenderer(height=H, width=W, depth_hw=(DH, DW), **kw)
 
     out_dir = Path(args.out)
     out_dir.mkdir(parents=True, exist_ok=True)
