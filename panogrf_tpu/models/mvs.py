@@ -110,6 +110,17 @@ class MVSDepthModel(nn.Module):
     wo_mono_feat: bool = False
     cnn3d_base: int = 32
     use_new_reg3dnet: bool = False    # MVSNet CostRegNet instead of UNet3D
+    # cross-replica SyncBN axis for shard_map data parallelism (feature
+    # net + CostRegNet BatchNorms; see ``nn/resnet.py`` module docstring)
+    bn_axis: str | None = None
+    # feature-net choice (reference ``net`` knob,
+    # ``models/test_models.py:14-19`` Net_dict): 'Equi' (shipped configs)
+    # or the ablation encoders 'ERP+TP' / 'TP' / 'Cube' — all return
+    # 1/4-res 32-ch features (the reference variants return exactly that,
+    # e.g. ``my_erp_tp.py:272``)
+    feature_net_type: str = "Equi"
+    nrows: int = 4                    # ERP+TP / TP patch layout
+    patch_size: int = 64
 
     @property
     def convention(self) -> SphereConvention:
@@ -139,8 +150,19 @@ class MVSDepthModel(nn.Module):
 
         # --- feature extraction (all views share the Equi net) ------------
         flat = panos.reshape(b * v, h, w, 3)
-        feats = Equi(wrap=self.wrap, with_sin=self.with_sin,
-                     name="feature_net")(flat, train)
+        if self.feature_net_type == "Equi":
+            feats = Equi(wrap=self.wrap, with_sin=self.with_sin,
+                         bn_axis=self.bn_axis,
+                         name="feature_net")(flat, train)
+        else:
+            from panogrf_tpu.nn.erp_tp import ENCODERS
+            enc_cls = ENCODERS[self.feature_net_type]
+            kw = ({"nrows": self.nrows, "patch_size": self.patch_size}
+                  if self.feature_net_type in ("ERP+TP", "TP") else {})
+            if self.feature_net_type == "ERP+TP":
+                kw["wrap"] = self.wrap
+            feats = enc_cls(out_dim=32, name="feature_net",
+                            **kw)(flat, train)
         cdim = feats.shape[-1]
         feats = feats.reshape(b, v, h4, w4, cdim)
         src_feats, ref_feats = feats[:, 0], feats[:, 1]
@@ -187,7 +209,8 @@ class MVSDepthModel(nn.Module):
             # MVSNet-style CostRegNet (reference ``use_new_reg3dnet``,
             # models/cost_reg.py:99-174)
             from panogrf_tpu.nn.blocks import CostRegNet
-            reg = CostRegNet(wrap=self.wrap, name="reg3dnet")(cost, train)
+            reg = CostRegNet(wrap=self.wrap, bn_axis=self.bn_axis,
+                             name="reg3dnet")(cost, train)
         else:
             reg = UNet3D(base_features=self.cnn3d_base, num_layers=3,
                          out_features=1, wrap=self.wrap, name="unet3d")(cost)

@@ -108,6 +108,10 @@ class UniFuse(nn.Module):
     out_type: str = "depth"          # 'depth' | 'disparity'
     uncertainty: bool = False
     num_layers: int = 18
+    # cross-replica SyncBN axis for shard_map data parallelism (the
+    # TPU-native equivalent of the reference's sync_batchnorm; see
+    # ``nn/resnet.py`` module docstring)
+    bn_axis: str | None = None
 
     @nn.compact
     def __call__(self, equi: Array, cube: Array, train: bool = False) -> dict:
@@ -115,9 +119,11 @@ class UniFuse(nn.Module):
         assert cube.shape[1] == 6 and cube.shape[2] == h // 2
 
         enc = _make_encoder(self.num_layers)
-        equi_feats = enc(wrap=self.wrap, name="equi_encoder")(equi, train)
+        equi_feats = enc(wrap=self.wrap, bn_axis=self.bn_axis,
+                         name="equi_encoder")(equi, train)
         cube_flat = cube.reshape(b * 6, *cube.shape[2:])
-        cube_feats = enc(wrap=False, name="cube_encoder")(cube_flat, train)
+        cube_feats = enc(wrap=False, bn_axis=self.bn_axis,
+                         name="cube_encoder")(cube_flat, train)
 
         def c2e(feat_flat: Array, level: int) -> Array:
             """Cube feature (B*6, fh, fw, C) -> ERP (B, eh, ew, C)."""
@@ -130,7 +136,8 @@ class UniFuse(nn.Module):
         def fusion(i: int, equi_f: Array, cube_f: Array, level: int) -> Array:
             c2e_f = c2e(cube_f, level)
             return make_fusion(self.fusion_type, equi_f.shape[-1],
-                               self.se_in_fusion)(equi_f, c2e_f, train)
+                               self.se_in_fusion,
+                               bn_axis=self.bn_axis)(equi_f, c2e_f, train)
 
         outputs = {}
         # level indices: enc feats at strides 2,4,8,16,32 -> levels 1..5
@@ -192,6 +199,7 @@ class Equi(nn.Module):
     wrap: bool = True
     with_sin: bool = False
     num_layers: int = 18
+    bn_axis: str | None = None   # SyncBN axis (see UniFuse)
 
     @nn.compact
     def __call__(self, equi: Array, train: bool = False) -> Array:
@@ -203,7 +211,8 @@ class Equi(nn.Module):
             sin_map = jnp.broadcast_to(phi[None, :, None, None], (b, h, w, 1))
             equi = jnp.concatenate([equi, sin_map], axis=-1)
         feats = _make_encoder(self.num_layers)(
-            wrap=self.wrap, name="equi_encoder")(equi, train)
+            wrap=self.wrap, bn_axis=self.bn_axis,
+            name="equi_encoder")(equi, train)
 
         x = upsample2x_nearest(ConvELU(NUM_CH_DEC[4], self.wrap)(feats[4]))
         x = jnp.concatenate([x, feats[3]], axis=-1)
@@ -230,11 +239,13 @@ class EquiDepth(nn.Module):
     wrap: bool = True
     uncertainty: bool = False
     num_layers: int = 18
+    bn_axis: str | None = None   # SyncBN axis (see UniFuse)
 
     @nn.compact
     def __call__(self, equi: Array, train: bool = False) -> dict:
         feats = _make_encoder(self.num_layers)(
-            wrap=self.wrap, name="equi_encoder")(equi, train)
+            wrap=self.wrap, bn_axis=self.bn_axis,
+            name="equi_encoder")(equi, train)
         outputs = {}
         x = upsample2x_nearest(ConvELU(NUM_CH_DEC[4], self.wrap)(feats[4]))
         x = jnp.concatenate([x, feats[3]], axis=-1)
@@ -261,11 +272,149 @@ class EquiDepth(nn.Module):
         return outputs
 
 
+class ERPTPDepth(nn.Module):
+    """ERP + tangent-patch mono-depth net (the ERP_TP_Fuse ablation,
+    reference ``models/my_erp_tp.py:66-272``).
+
+    Like :class:`UniFuse` but the second branch encodes N gnomonic
+    tangent patches instead of 6 cube faces; per-level patch features are
+    resampled to ERP (``core.tangent``, replacing the reference's
+    ``pers2equi`` grid_sample) and fused into the ERP decoder.  The
+    reference folds the patch axis into a Conv3d depth dim
+    (``convert_conv``, ``my_erp_tp.py:20-42``) purely to share weights
+    across patches — here patches fold into the batch axis (one reshape,
+    same sharing).  The reference variant stops at 1/4-res features (its
+    depth head is commented out); as a *mono* net this restores the full
+    UniFuse ladder + ``max_depth * sigmoid`` head so it trains under
+    ``tools/train_mono.py``.
+    """
+    max_depth: float = 10.0
+    fusion_type: str = "cee"
+    se_in_fusion: bool = True
+    wrap: bool = True
+    uncertainty: bool = False
+    num_layers: int = 18
+    nrows: int = 4
+    patch_size: int = 64
+    fov: float = 80.0
+    bn_axis: str | None = None
+
+    @nn.compact
+    def __call__(self, equi: Array, train: bool = False) -> dict:
+        from panogrf_tpu.core import tangent
+        b, h, w, c = equi.shape
+        npatch = tangent.NPATCHES[self.nrows]
+        ps = (self.patch_size, self.patch_size)
+        fov = (self.fov, self.fov)
+
+        enc = _make_encoder(self.num_layers)
+        equi_feats = enc(wrap=self.wrap, bn_axis=self.bn_axis,
+                         name="equi_encoder")(equi, train)
+        patches = jax.vmap(lambda img: tangent.equi_to_tangent(
+            img, self.nrows, ps, fov))(equi)
+        tp_flat = patches.reshape(b * npatch, *ps, c)
+        tp_feats = enc(wrap=False, bn_axis=self.bn_axis,
+                       name="tp_encoder")(tp_flat, train)
+
+        def t2e(feat_flat: Array, level: int) -> Array:
+            """(B*N, fh, fw, C) -> (B, eh, ew, C)."""
+            fh = feat_flat.shape[1]
+            eh, ew = h >> level, w >> level
+            grouped = feat_flat.reshape(b, npatch, fh, fh, -1)
+            return jax.vmap(lambda p: tangent.tangent_to_equi(
+                p, (eh, ew), self.nrows, fov))(grouped)
+
+        def fusion(equi_f: Array, tp_f: Array, level: int) -> Array:
+            return make_fusion(self.fusion_type, equi_f.shape[-1],
+                               self.se_in_fusion, bn_axis=self.bn_axis)(
+                equi_f, t2e(tp_f, level), train)
+
+        outputs = {}
+        x = fusion(equi_feats[4], tp_feats[4], 5)
+        x = upsample2x_nearest(ConvELU(NUM_CH_DEC[4], self.wrap)(x))  # 1/16
+        for lvl, dec_ch in ((4, NUM_CH_DEC[4]), (3, NUM_CH_DEC[3]),
+                            (2, NUM_CH_DEC[2])):
+            f = fusion(equi_feats[lvl - 1], tp_feats[lvl - 1], lvl)
+            x = jnp.concatenate([x, f], axis=-1)
+            x = ConvELU(dec_ch, self.wrap)(x)
+            x = upsample2x_nearest(
+                ConvELU(NUM_CH_DEC[lvl - 2], self.wrap)(x))
+        f0 = fusion(equi_feats[0], tp_feats[0], 1)
+        x = jnp.concatenate([x, f0], axis=-1)
+        x = ConvELU(NUM_CH_DEC[1], self.wrap)(x)
+        outputs["mono_feat"] = x                         # deconv_1 tap
+        x = upsample2x_nearest(ConvELU(NUM_CH_DEC[0], self.wrap)(x))
+        x = ConvELU(NUM_CH_DEC[0], self.wrap)(x)
+        equi_out = Conv3x3Head(1, self.wrap)(x)
+        outputs["pred_depth"] = self.max_depth * nn.sigmoid(equi_out)
+        if self.uncertainty:
+            pred = Conv3x3Head(2, self.wrap, name="uncert_head")(x)
+            mu = self.max_depth * nn.sigmoid(pred[..., :1])
+            sigma = nn.softplus(pred[..., 1:]) + 1e-3
+            outputs["pred"] = jnp.concatenate([mu, sigma], axis=-1)
+        return outputs
+
+
+class CubeDepth(nn.Module):
+    """Cubemap-only mono-depth net (the Cube ablation, reference
+    ``models/my_cube_only.py:107-185``): ONLY the cube encoder runs — the
+    decoder consumes cube->ERP-resampled features directly, no ERP branch
+    and no fusion layers (the reference comments both out).  Restores the
+    full decoder + depth head for ``tools/train_mono.py`` (the reference
+    variant returns 1/4-res features for the MVS feature-net knob).
+    """
+    max_depth: float = 10.0
+    wrap: bool = True
+    uncertainty: bool = False
+    num_layers: int = 18
+    bn_axis: str | None = None
+
+    @nn.compact
+    def __call__(self, equi: Array, cube: Array,
+                 train: bool = False) -> dict:
+        b, h, w, _ = equi.shape
+        assert cube.shape[1] == 6 and cube.shape[2] == h // 2
+        cube_flat = cube.reshape(b * 6, *cube.shape[2:])
+        cube_feats = _make_encoder(self.num_layers)(
+            wrap=False, bn_axis=self.bn_axis,
+            name="cube_encoder")(cube_flat, train)
+
+        def c2e(feat_flat: Array, level: int) -> Array:
+            fw = feat_flat.shape[1]
+            eh, ew = h >> level, w >> level
+            stacked = feat_flat.reshape(b, 6, fw, fw, -1)
+            return jax.vmap(lambda cb: cubemap.cube_to_equi(cb, eh, ew))(
+                stacked)
+
+        outputs = {}
+        x = upsample2x_nearest(
+            ConvELU(NUM_CH_DEC[4], self.wrap)(c2e(cube_feats[4], 5)))
+        for lvl, dec_ch in ((4, NUM_CH_DEC[4]), (3, NUM_CH_DEC[3]),
+                            (2, NUM_CH_DEC[2])):
+            x = jnp.concatenate([x, c2e(cube_feats[lvl - 1], lvl)], axis=-1)
+            x = ConvELU(dec_ch, self.wrap)(x)
+            x = upsample2x_nearest(
+                ConvELU(NUM_CH_DEC[lvl - 2], self.wrap)(x))
+        x = jnp.concatenate([x, c2e(cube_feats[0], 1)], axis=-1)
+        x = ConvELU(NUM_CH_DEC[1], self.wrap)(x)
+        outputs["mono_feat"] = x
+        x = upsample2x_nearest(ConvELU(NUM_CH_DEC[0], self.wrap)(x))
+        x = ConvELU(NUM_CH_DEC[0], self.wrap)(x)
+        equi_out = Conv3x3Head(1, self.wrap)(x)
+        outputs["pred_depth"] = self.max_depth * nn.sigmoid(equi_out)
+        if self.uncertainty:
+            pred = Conv3x3Head(2, self.wrap, name="uncert_head")(x)
+            mu = self.max_depth * nn.sigmoid(pred[..., :1])
+            sigma = nn.softplus(pred[..., 1:]) + 1e-3
+            outputs["pred"] = jnp.concatenate([mu, sigma], axis=-1)
+        return outputs
+
+
 # ---------------------------------------------------------------------------
 # mono-net factory (reference select_mononet.py:4-138)
 # ---------------------------------------------------------------------------
 
-MONO_NETS = ("UniFuse", "Equi")
+MONO_NETS = ("UniFuse", "Equi", "ERP+TP", "Cube")
 
 
 def select_mono(cfg, mvsnet: bool = False):
@@ -304,6 +453,16 @@ def select_mono(cfg, mvsnet: bool = False):
                        se_in_fusion=bool(get("se_in_fusion", True)))
     if name == "Equi":
         return EquiDepth(max_depth=max_depth, uncertainty=uncert, wrap=wrap,
+                         num_layers=layers)
+    if name == "ERP+TP":
+        return ERPTPDepth(max_depth=max_depth, uncertainty=uncert, wrap=wrap,
+                          num_layers=layers, fusion_type=fusion,
+                          se_in_fusion=bool(get("se_in_fusion", True)),
+                          nrows=int(get("nrows", 4)),
+                          patch_size=int(get("patchsize", 64)),
+                          fov=float(get("fov", 80.0)))
+    if name == "Cube":
+        return CubeDepth(max_depth=max_depth, uncertainty=uncert, wrap=wrap,
                          num_layers=layers)
     raise ValueError(
         f"unknown mono_net {name!r}; available: {MONO_NETS} "

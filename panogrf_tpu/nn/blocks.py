@@ -326,16 +326,22 @@ class ConvBlock2(nn.Module):
 
 class ConvBnLReLU3D(nn.Module):
     """Wrap-padded conv3d + BatchNorm + LeakyReLU (reference
-    ``models/cost_reg.py:15-40`` ConvBnReLU3DWrap, inplace_abn off)."""
+    ``models/cost_reg.py:15-40`` ConvBnReLU3DWrap, inplace_abn off).
+
+    ``bn_axis``: cross-replica SyncBN axis for shard_map/pmap data
+    parallelism (see ``nn/resnet.py`` module docstring — the TPU-native
+    stand-in for the reference's vendored ``sync_batchnorm``)."""
     features: int
     stride: int = 1
     wrap: bool = True
+    bn_axis: str | None = None
 
     @nn.compact
     def __call__(self, x: Array, train: bool = False) -> Array:
         x = WrapConv3D(self.features, 3, stride=self.stride,
                        use_bias=False, wrap=self.wrap)(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.9)(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         axis_name=self.bn_axis)(x)
         return nn.leaky_relu(x, 0.01)
 
 
@@ -344,13 +350,15 @@ class UpConvBn3D(nn.Module):
     (reference ``cost_reg.py:59-98`` UpConv3DWrap)."""
     features: int
     wrap: bool = True
+    bn_axis: str | None = None
 
     @nn.compact
     def __call__(self, x: Array, target_shape, train: bool = False) -> Array:
         x = resize_linear(x, tuple(target_shape), axes=(1, 2, 3),
                           align_corners=False)
         x = WrapConv3D(self.features, 3, use_bias=False, wrap=self.wrap)(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.9)(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         axis_name=self.bn_axis)(x)
         return nn.leaky_relu(x, 0.01)
 
 
@@ -361,22 +369,31 @@ class CostRegNet(nn.Module):
     additive skips, 1-channel prob head.  NDHWC; input (B, D, H, W, C).
     """
     wrap: bool = True
+    bn_axis: str | None = None
 
     @nn.compact
     def __call__(self, x: Array, train: bool = False) -> Array:
-        conv0 = ConvBnLReLU3D(8, wrap=self.wrap, name="conv0")(x, train)
-        h = ConvBnLReLU3D(16, 2, wrap=self.wrap, name="conv1")(conv0, train)
-        conv2 = ConvBnLReLU3D(16, wrap=self.wrap, name="conv2")(h, train)
-        h = ConvBnLReLU3D(32, 2, wrap=self.wrap, name="conv3")(conv2, train)
-        conv4 = ConvBnLReLU3D(32, wrap=self.wrap, name="conv4")(h, train)
-        h = ConvBnLReLU3D(64, 2, wrap=self.wrap, name="conv5")(conv4, train)
-        h = ConvBnLReLU3D(64, wrap=self.wrap, name="conv6")(h, train)
-        h = conv4 + UpConvBn3D(32, wrap=self.wrap, name="conv7")(
-            h, conv4.shape[1:4], train)
-        h = conv2 + UpConvBn3D(16, wrap=self.wrap, name="conv9")(
-            h, conv2.shape[1:4], train)
-        h = conv0 + UpConvBn3D(8, wrap=self.wrap, name="conv11")(
-            h, conv0.shape[1:4], train)
+        ax = self.bn_axis
+        conv0 = ConvBnLReLU3D(8, wrap=self.wrap, bn_axis=ax,
+                              name="conv0")(x, train)
+        h = ConvBnLReLU3D(16, 2, wrap=self.wrap, bn_axis=ax,
+                          name="conv1")(conv0, train)
+        conv2 = ConvBnLReLU3D(16, wrap=self.wrap, bn_axis=ax,
+                              name="conv2")(h, train)
+        h = ConvBnLReLU3D(32, 2, wrap=self.wrap, bn_axis=ax,
+                          name="conv3")(conv2, train)
+        conv4 = ConvBnLReLU3D(32, wrap=self.wrap, bn_axis=ax,
+                              name="conv4")(h, train)
+        h = ConvBnLReLU3D(64, 2, wrap=self.wrap, bn_axis=ax,
+                          name="conv5")(conv4, train)
+        h = ConvBnLReLU3D(64, wrap=self.wrap, bn_axis=ax,
+                          name="conv6")(h, train)
+        h = conv4 + UpConvBn3D(32, wrap=self.wrap, bn_axis=ax,
+                               name="conv7")(h, conv4.shape[1:4], train)
+        h = conv2 + UpConvBn3D(16, wrap=self.wrap, bn_axis=ax,
+                               name="conv9")(h, conv2.shape[1:4], train)
+        h = conv0 + UpConvBn3D(8, wrap=self.wrap, bn_axis=ax,
+                               name="conv11")(h, conv0.shape[1:4], train)
         return WrapConv3D(1, 3, use_bias=False, wrap=self.wrap,
                           name="prob")(h)
 

@@ -55,15 +55,19 @@ class SELayer(nn.Module):
 
 
 class CEELayer(nn.Module):
-    """Cube-ERP enhancement fusion (reference ``layers.py:214-242``)."""
+    """Cube-ERP enhancement fusion (reference ``layers.py:214-242``).
+
+    ``bn_axis``: cross-replica SyncBN axis (see ``nn/resnet.py``)."""
     features: int
     use_se: bool = True
+    bn_axis: str | None = None
 
     @nn.compact
     def __call__(self, equi_feat: Array, c2e_feat: Array,
                  train: bool = False) -> Array:
         bn = lambda name: nn.BatchNorm(use_running_average=not train,
-                                       momentum=0.9, epsilon=1e-5, name=name)
+                                       momentum=0.9, epsilon=1e-5, name=name,
+                                       axis_name=self.bn_axis)
         x = jnp.concatenate([equi_feat, c2e_feat], axis=-1)
         x = nn.relu(bn("res_bn1")(
             nn.Conv(self.features, (1, 1), use_bias=False,
@@ -82,7 +86,8 @@ class CEELayer(nn.Module):
 FUSION_LAYERS = {"cat": Concat, "biproj": BiProj, "cee": CEELayer}
 
 
-def make_fusion(kind: str, features: int, se: bool = True) -> nn.Module:
+def make_fusion(kind: str, features: int, se: bool = True,
+                bn_axis: str | None = None) -> nn.Module:
     if kind == "cee":
-        return CEELayer(features, use_se=se)
+        return CEELayer(features, use_se=se, bn_axis=bn_axis)
     return FUSION_LAYERS[kind](features)

@@ -13,6 +13,15 @@ encoders use ``wrap=False`` (plain zero padding).
 
 BatchNorm follows torchvision semantics: running stats are Flax
 ``batch_stats`` collections; pass ``train=True`` to update them.
+
+``bn_axis`` is the cross-replica (SyncBN) switch — the TPU-native
+equivalent of the reference's vendored ``sync_batchnorm/batchnorm.py``:
+set it to a mesh axis name (e.g. ``'data'``) when the module runs inside
+``shard_map``/``pmap`` over that axis and BatchNorm reduces its batch
+statistics across replicas via ``lax.pmean``.  Leave ``None`` under plain
+``jit`` — with GSPMD-sharded batches, XLA already computes GLOBAL batch
+statistics (sharded-axis reductions are all-reduced automatically), so
+SyncBN is implicit; the explicit axis is only for per-replica traces.
 """
 
 from __future__ import annotations
@@ -49,30 +58,34 @@ class _ConvPad(nn.Module):
 
 
 class _BN(nn.Module):
+    bn_axis: str | None = None   # cross-replica SyncBN axis (module doc)
+
     @nn.compact
     def __call__(self, x: Array, train: bool) -> Array:
         return nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                            epsilon=1e-5)(x)
+                            epsilon=1e-5, axis_name=self.bn_axis)(x)
 
 
 class ResNetBasicBlock(nn.Module):
     features: int
     stride: int = 1
     wrap: bool = True
+    bn_axis: str | None = None
 
     @nn.compact
     def __call__(self, x: Array, train: bool = False) -> Array:
         identity = x
         h = _ConvPad(self.features, 3, self.stride, self.wrap)(x)
-        h = _BN()(h, train)
+        h = _BN(self.bn_axis)(h, train)
         h = nn.relu(h)
         h = _ConvPad(self.features, 3, 1, self.wrap)(h)
-        h = _BN()(h, train)
+        h = _BN(self.bn_axis)(h, train)
         if self.stride != 1 or x.shape[-1] != self.features:
             identity = nn.Conv(self.features, (1, 1),
                                strides=(self.stride,) * 2,
                                use_bias=False, name="downsample_conv")(x)
-            identity = _BN(name="downsample_bn")(identity, train)
+            identity = _BN(self.bn_axis, name="downsample_bn")(identity,
+                                                               train)
         return nn.relu(h + identity)
 
 
@@ -84,12 +97,13 @@ class ResNetEncoder(nn.Module):
     """
     block_counts: Sequence[int] = (2, 2, 2, 2)  # resnet18
     wrap: bool = True
+    bn_axis: str | None = None   # SyncBN mesh axis (module docstring)
 
     @nn.compact
     def __call__(self, x: Array, train: bool = False) -> list:
         feats = []
         h = _ConvPad(64, 7, 2, self.wrap)(x)
-        h = _BN()(h, train)
+        h = _BN(self.bn_axis)(h, train)
         h = nn.relu(h)
         feats.append(h)                                   # 1/2, 64
         # torchvision maxpool: k3 s2 p1
@@ -99,19 +113,21 @@ class ResNetEncoder(nn.Module):
         for i, (planes, blocks) in enumerate(
                 zip((64, 128, 256, 512), self.block_counts)):
             stride = 1 if i == 0 else 2
-            h = ResNetBasicBlock(planes, stride, self.wrap)(h, train)
+            h = ResNetBasicBlock(planes, stride, self.wrap,
+                                 self.bn_axis)(h, train)
             for _ in range(1, blocks):
-                h = ResNetBasicBlock(planes, 1, self.wrap)(h, train)
+                h = ResNetBasicBlock(planes, 1, self.wrap,
+                                     self.bn_axis)(h, train)
             feats.append(h)
         return feats
 
 
-def resnet18(wrap: bool = True) -> ResNetEncoder:
-    return ResNetEncoder((2, 2, 2, 2), wrap)
+def resnet18(wrap: bool = True, bn_axis: str | None = None) -> ResNetEncoder:
+    return ResNetEncoder((2, 2, 2, 2), wrap, bn_axis)
 
 
-def resnet34(wrap: bool = True) -> ResNetEncoder:
-    return ResNetEncoder((3, 4, 6, 3), wrap)
+def resnet34(wrap: bool = True, bn_axis: str | None = None) -> ResNetEncoder:
+    return ResNetEncoder((3, 4, 6, 3), wrap, bn_axis)
 
 
 # ---------------------------------------------------------------------------
@@ -127,6 +143,7 @@ class _ConvBNReLU6(nn.Module):
     stride: int = 1
     depthwise: bool = False
     wrap: bool = True
+    bn_axis: str | None = None
 
     @nn.compact
     def __call__(self, x: Array, train: bool = False) -> Array:
@@ -140,7 +157,7 @@ class _ConvBNReLU6(nn.Module):
         x = nn.Conv(self.features, (self.kernel,) * 2,
                     strides=(self.stride,) * 2, padding="VALID",
                     feature_group_count=groups, use_bias=False)(x)
-        x = _BN()(x, train)
+        x = _BN(self.bn_axis)(x, train)
         return jnp.minimum(nn.relu(x), 6.0)
 
 
@@ -150,6 +167,7 @@ class InvertedResidual(nn.Module):
     stride: int = 1
     expand_ratio: int = 6
     wrap: bool = True
+    bn_axis: str | None = None
 
     @nn.compact
     def __call__(self, x: Array, train: bool = False) -> Array:
@@ -157,11 +175,12 @@ class InvertedResidual(nn.Module):
         hidden = int(round(inp * self.expand_ratio))
         h = x
         if self.expand_ratio != 1:
-            h = _ConvBNReLU6(hidden, 1, wrap=self.wrap)(h, train)
+            h = _ConvBNReLU6(hidden, 1, wrap=self.wrap,
+                             bn_axis=self.bn_axis)(h, train)
         h = _ConvBNReLU6(hidden, 3, self.stride, depthwise=True,
-                         wrap=self.wrap)(h, train)
+                         wrap=self.wrap, bn_axis=self.bn_axis)(h, train)
         h = nn.Conv(self.features, (1, 1), use_bias=False)(h)
-        h = _BN()(h, train)
+        h = _BN(self.bn_axis)(h, train)
         if self.stride == 1 and inp == self.features:
             return x + h
         return h
@@ -182,10 +201,12 @@ class MobileNetV2Encoder(nn.Module):
     (16, 24, 32, 96, 320) at strides (2, 4, 8, 16, 32).
     """
     wrap: bool = True
+    bn_axis: str | None = None
 
     @nn.compact
     def __call__(self, x: Array, train: bool = False) -> list:
-        h = _ConvBNReLU6(32, 3, 2, wrap=self.wrap)(x, train)   # features[0]
+        h = _ConvBNReLU6(32, 3, 2, wrap=self.wrap,
+                         bn_axis=self.bn_axis)(x, train)       # features[0]
         feats = []
         block_idx = 1
         taps = {2, 4, 7, 14, 18}
@@ -194,11 +215,12 @@ class MobileNetV2Encoder(nn.Module):
                 if block_idx in taps:
                     feats.append(h)
                 h = InvertedResidual(c, s if i == 0 else 1, t,
-                                     self.wrap)(h, train)
+                                     self.wrap, self.bn_axis)(h, train)
                 block_idx += 1
         feats.append(h)                                        # after [17]
         return feats
 
 
-def mobilenet_v2(wrap: bool = True) -> MobileNetV2Encoder:
-    return MobileNetV2Encoder(wrap)
+def mobilenet_v2(wrap: bool = True,
+                 bn_axis: str | None = None) -> MobileNetV2Encoder:
+    return MobileNetV2Encoder(wrap, bn_axis)

@@ -15,7 +15,7 @@ import jax
 import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from panogrf_tpu.parallel.mesh import RAY_AXIS
+from panogrf_tpu.parallel.mesh import DATA_AXIS, RAY_AXIS
 from panogrf_tpu.train.losses import NAME2LOSS, total_loss
 
 
@@ -64,3 +64,62 @@ def make_sharded_train_step(apply_fn: Callable, tx: optax.GradientTransformation
 def replicate_tree(mesh: Mesh, tree: Any) -> Any:
     rep = NamedSharding(mesh, P())
     return jax.device_put(tree, rep)
+
+
+def make_sharded_depth_step(forward_fn: Callable,
+                            tx: optax.GradientTransformation, mesh: Mesh,
+                            loss_type: str = "l1_sphere",
+                            aux_d1_weight: float = 0.5,
+                            axis: str = DATA_AXIS) -> Callable:
+    """Data-parallel depth-net train step over the mesh's ``axis`` with
+    cross-replica BatchNorm (the reference's SyncBN role,
+    ``/root/reference/sync_batchnorm/batchnorm.py``; SURVEY §2.2).
+
+    Runs per-replica via ``shard_map`` so the model's named ``bn_axis``
+    exists: build the net with ``bn_axis=axis`` (e.g.
+    ``MVSDepthModel(bn_axis='data')``) and BatchNorm pmean-reduces its
+    batch statistics across replicas — training numerics match one big
+    device seeing the global batch.  Gradients/loss are pmean'd here; the
+    updated ``batch_stats`` come back synced (replicated) by construction.
+
+    :param forward_fn: ``(variables, batch, train) -> (outputs,
+        mutated_state)`` — same contract as
+        :class:`panogrf_tpu.train.depth_trainer.DepthTrainer`.
+    :return: jitted ``(params, state, opt_state, batch) -> (params, state,
+        opt_state, loss)``; batch leaves must have their leading (batch)
+        dim divisible by the mesh ``axis`` size.
+    """
+    from panogrf_tpu.train.depth_trainer import depth_loss_fn
+
+    def loss_fn(params, state, batch):
+        out, new_state = forward_fn({"params": params, **state}, batch,
+                                    True)
+        gt = batch["gt_depth"]
+        mask = batch.get("gt_mask")
+        sigma = out["pred"][..., 1:] if "pred" in out else None
+        pred = (out["pred"][..., :1] if "pred" in out
+                else out["pred_depth"])
+        loss = depth_loss_fn(loss_type, pred, gt, mask, sigma)
+        if "rectified_depth_d1" in out:
+            loss = loss + aux_d1_weight * depth_loss_fn(
+                "l1_sphere", out["rectified_depth_d1"], gt, mask)
+        return loss, new_state or state
+
+    def _step(params, state, opt_state, batch):
+        (loss, new_state), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params, state, batch)
+        grads = jax.lax.pmean(grads, axis)
+        loss = jax.lax.pmean(loss, axis)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, new_state, opt_state, loss
+
+    rep = P()
+    shd = jax.shard_map(
+        _step, mesh=mesh,
+        in_specs=(rep, rep, rep, P(axis)),
+        out_specs=(rep, rep, rep, rep),
+        check_vma=False)  # BN's pmean makes state replicated; tx updates
+    #                       from pmean'd grads keep params replicated —
+    #                       the static checker can't see through optax.
+    return jax.jit(shd)

@@ -27,9 +27,14 @@ def main():
     ap.add_argument("--name", default="mono_run")
     ap.add_argument("--max-depth", type=float, default=10.0)
     ap.add_argument("--mono-net", default="UniFuse",
-                    choices=["UniFuse", "Equi"],
-                    help="select_mono factory choice (Equi = ERP-only "
-                         "mono-depth net, reference select_mononet.py)")
+                    choices=["UniFuse", "Equi", "ERP+TP", "Cube"],
+                    help="select_mono factory choice: Equi = ERP-only, "
+                         "ERP+TP = tangent-patch fusion ablation "
+                         "(reference models/my_erp_tp.py), Cube = "
+                         "cube-encoder-only ablation (my_cube_only.py)")
+    ap.add_argument("--nrows", type=int, default=4,
+                    help="ERP+TP tangent-patch layout (3/4/5/6 rows)")
+    ap.add_argument("--patch-size", type=int, default=64)
     ap.add_argument("--num-layers", type=int, default=18,
                     help="encoder depth: 2=mobilenet_v2, 18/34=resnet")
     ap.add_argument("--cpu", action="store_true")
@@ -54,8 +59,11 @@ def main():
     model = select_mono({"mono_net": args.mono_net,
                          "max_depth": args.max_depth,
                          "mono_uncertainty": args.uncertainty,
-                         "mono_num_layers": args.num_layers})
-    is_unifuse = args.mono_net == "UniFuse"
+                         "mono_num_layers": args.num_layers,
+                         "nrows": args.nrows,
+                         "patchsize": args.patch_size})
+    # UniFuse and the Cube ablation consume the cubemap input
+    is_unifuse = args.mono_net in ("UniFuse", "Cube")
     rng = np.random.default_rng(2022)
     reader = ShardReader(args.shards) if args.shards else None
 
