@@ -20,6 +20,14 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+# Persistent XLA compile cache: the frame program recompiles per
+# (chunk, stride, dtype) point and this box has one CPU core — cache
+# compiled executables on disk so sweeps/re-runs skip XLA (same setup as
+# tests/conftest.py; delete the dir to force a cold compile).
+jax.config.update("jax_compilation_cache_dir", "/tmp/panogrf_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
 
 def main():
     ap = argparse.ArgumentParser()
@@ -56,6 +64,11 @@ def main():
     ap.add_argument("--gather-stride-fine", type=int, default=None,
                     help="separate stride for the fine pass "
                          "(0 = same as --gather-stride)")
+    ap.add_argument("--gather-nearest", dest="gather_nearest",
+                    action="store_true", default=None,
+                    help="nearest-tap merged-map fetch (1 row/point "
+                         "instead of the 2x2 bilinear window; quality "
+                         "A/B in tools/ab_quality, mode 'nearest')")
     ap.add_argument("--no-decode-on-map", dest="decode_on_map",
                     action="store_false", default=None,
                     help="disable decode-on-map (per-sample dist-decoder "
@@ -77,6 +90,13 @@ def main():
     ap.add_argument("--no-roofline", dest="roofline", action="store_false",
                     default=True,
                     help="skip the per-stage MFU/roofline measurement")
+    ap.add_argument("--ablate", default="",
+                    choices=["", "agg", "gather", "agg+gather"],
+                    help="MEASUREMENT-ONLY stage ablation: time the frame "
+                         "with the aggregation (or the merged-map row "
+                         "fetch) replaced by a trivial stand-in — the "
+                         "delta vs the un-ablated frame attributes "
+                         "in-context stage cost (output image is garbage)")
     args = ap.parse_args()
     from panogrf_tpu.renderer.renderer import NeuralRayGenRenderer
     from panogrf_tpu.renderer import full_render
@@ -95,6 +115,7 @@ def main():
         gather_depth_major=args.depth_major,
         gather_stride=args.gather_stride,
         gather_stride_fine=args.gather_stride_fine,
+        gather_nearest=args.gather_nearest,
         decode_on_map=args.decode_on_map,
         coarse_geometry_only=(args.coarse_geo_only and not args.diner)
         if (args.coarse_geo_only is not None or args.diner) else None,
@@ -107,6 +128,7 @@ def main():
         height=H, width=W, depth_hw=(DH, DW),
         light_coarse=args.light_coarse and not args.diner,
         coarse_proxy_samples=args.proxy_samples,
+        ablate=args.ablate,
         **kw)
     rng = np.random.default_rng(0)
     ref_info = {
@@ -176,6 +198,8 @@ def main():
         name += "_diner"
     if args.preset != "serving":
         name += f"_{args.preset}"
+    if args.ablate:
+        name += f"_ablate_{args.ablate}"
     result = {
         "metric": name,
         "value": round(sec * 1000.0, 2),
@@ -184,7 +208,7 @@ def main():
         "rays_per_sec": int(rays_per_sec),
     }
 
-    if args.roofline and not args.diner:
+    if args.roofline and not args.diner and not args.ablate:
         # MFU/roofline accounting (utils/roofline.py): measure the two
         # dominant stages in isolation at the serving chunk and price them
         # against the chip's published peaks + the measured gather-row
@@ -194,19 +218,24 @@ def main():
         from panogrf_tpu.renderer.agg_net import DefaultAggregationNet
         from panogrf_tpu.ops.resample import interpolate_feats_pointmajor
 
-        def time_chain(step, init, iters=4):
-            step_j = jax.jit(step)
-            out = step_j(init)
-            tot = jax.jit(lambda o: sum(jnp.sum(x.astype(jnp.float32))
-                                        for x in jax.tree.leaves(o)))
-            _ = float(tot(out))
+        def time_chain(step, init, iters=128):
+            # The frame loop runs its chunks via lax.map inside ONE jit,
+            # so per-chunk dispatch costs nothing there — time stages the
+            # same way: iterate the (data-dependent) step on-device with
+            # fori_loop, one dispatch total, and amortize the tunnel RTT
+            # over all iterations.  (The first version of this harness
+            # host-dispatched 4 iterations; the ~35 ms RTT per call made
+            # the stage "times" exceed the whole frame.)
+            @jax.jit
+            def run(o):
+                o = jax.lax.fori_loop(0, iters, lambda i, t: step(t), o)
+                return sum(jnp.sum(x.astype(jnp.float32))
+                           for x in jax.tree.leaves(o))
+            _ = float(run(init))                 # compile + warm
             t0 = time.perf_counter()
-            o = init
-            for _ in range(iters):
-                o = step_j(o)
-            _ = float(tot(o))
+            _ = float(run(init))
             dt = time.perf_counter() - t0
-            return max(dt / iters - rtt / iters, 1e-9)
+            return max((dt - rtt) / iters, 1e-9)
 
         dn = kw.get("fine_depth_sample_num", 64)
         cdt = jnp.dtype(kw["compute_dtype"])
@@ -233,14 +262,37 @@ def main():
         merged = jnp.asarray(rng2.uniform(size=(rfn, H, W, row_ch)), cdt)
         s_c, s_f = kw["gather_stride"], (kw["gather_stride_fine"]
                                          or kw["gather_stride"])
-        n_rows = chunk * (64 // s_c + (dn + s_f - 1) // s_f)
-        pts0 = jnp.asarray(rng2.uniform(0, 500, size=(rfn, n_rows, 2)),
-                           jnp.float32)
+        # REAL projected coordinates (not random points): gather latency
+        # is DRAM-locality-bound, so the stage must see the depth-major
+        # near-sequential access pattern the frame actually produces —
+        # project one real chunk's strided coarse+fine samples exactly
+        # like render_ops.project_points_dict does.
+        from panogrf_tpu.core.sphere import get_convention
+        from panogrf_tpu.renderer import render_ops as ro
+        conv = get_convention("m3d")
+
+        def real_rows(dn_pass, s):
+            cds = jnp.stack(
+                [jnp.arange(chunk, dtype=jnp.float32) % W,
+                 jnp.arange(chunk, dtype=jnp.float32) // W + H // 3],
+                -1)[None]
+            qd_, _ = ro.sample_depth(1, chunk, dn_pass, 0.5, 15.0, True)
+            pts, _ = ro.depth2points_spherical(
+                cds, qd_, c2w, conv.ray_directions(H, W))
+            pts = jnp.swapaxes(pts, 1, 2)[..., ::s, :, :]     # depth-major
+            flat = pts.reshape(-1, 3)
+            cam = (jnp.einsum("vij,pj->pvi",
+                              ref_info["w2c"][:, :, :3], flat)
+                   + ref_info["w2c"][None, :, :, 3])
+            xy, _ = conv.project_to_pixels(cam, H, W)
+            return jnp.swapaxes(xy, 0, 1)                     # (rfn, n, 2)
+
+        pts0 = jnp.concatenate([real_rows(64, s_c), real_rows(dn, s_f)],
+                               axis=1)
 
         def g_gather(pts):
             v = interpolate_feats_pointmajor(merged, pts, H, W)
-            return (pts + v[..., :2].astype(jnp.float32).swapaxes(0, 1)
-                    * 1e-6) % 509
+            return pts + v[..., 0].astype(jnp.float32).mean() * 1e-9
 
         gather_chunk_s = time_chain(g_gather, pts0)
 

@@ -112,6 +112,29 @@ def bilinear_sample(img: Array, xy: Array, *, wrap_x: bool = True,
     return out
 
 
+def nearest_sample(img: Array, xy: Array, *, wrap_x: bool = True) -> Array:
+    """Nearest-neighbor sample ``img`` (H, W, C) at pixel coords ``xy``.
+
+    One flat-index row fetch per point — half the DRAM segments of the
+    2x2 bilinear window (the window spans two map rows).  Intended for
+    the serving fast_gather path, whose merged map is ALREADY a 4x
+    bilinearly-upsampled feature map: rounding on that grid displaces a
+    feature lookup by <=0.5 px of a smooth signal (quality A/B in
+    tools/ab_quality.py, mode 'nearest').
+    """
+    h, w, _ = img.shape
+    x = jnp.round(xy[..., 0])
+    y = jnp.clip(jnp.round(xy[..., 1]), 0.0, h - 1.0)
+    if wrap_x:
+        x = jnp.mod(x, 1.0 * w)
+    else:
+        x = jnp.clip(x, 0.0, w - 1.0)
+    idx = y.astype(jnp.int32) * w + x.astype(jnp.int32)
+    flat = img.reshape(h * w, -1)
+    return jnp.take(flat, idx.reshape(-1), axis=0).reshape(
+        *idx.shape, img.shape[-1])
+
+
 def batched_bilinear_sample(imgs: Array, xy: Array, **kw) -> Array:
     """vmap of :func:`bilinear_sample` over a leading batch axis.
 
@@ -148,7 +171,8 @@ def interpolate_feats(feats: Array, points: Array, h: int | None = None,
 
 
 def interpolate_feats_pointmajor(feats: Array, pts: Array, h: int, w: int,
-                                 *, wrap_x: bool = True) -> Array:
+                                 *, wrap_x: bool = True,
+                                 nearest: bool = False) -> Array:
     """Multi-view sampling emitting point-major (pn, V, C).
 
     Measured on v5e: per-view 2x2-window gathers followed by a
@@ -159,9 +183,20 @@ def interpolate_feats_pointmajor(feats: Array, pts: Array, h: int, w: int,
 
     :param feats: (V, fh, fw, C); pts (V, pn, 2) pixel coords in the
         (h, w) frame (align-corners scaling to the map resolution).
+    :param nearest: single-row nearest fetch instead of the bilinear
+        window (see :func:`nearest_sample`).
     :return: (pn, V, C).
     """
-    out = interpolate_feats(feats, pts, h, w, wrap_x=wrap_x)
+    if nearest:
+        b, fh, fw, _ = feats.shape
+        if fh != h or fw != w:
+            scale = jnp.asarray([(fw - 1.0) / (w - 1.0),
+                                 (fh - 1.0) / (h - 1.0)], pts.dtype)
+            pts = pts * scale
+        out = jax.vmap(functools.partial(nearest_sample,
+                                         wrap_x=wrap_x))(feats, pts)
+    else:
+        out = interpolate_feats(feats, pts, h, w, wrap_x=wrap_x)
     return jnp.swapaxes(out, 0, 1)
 
 

@@ -185,7 +185,8 @@ def project_points_dict(ref_data: dict, que_pts: Array,
                         convention: SphereConvention,
                         que_dir: Array | None = None,
                         depth_major: bool = False,
-                        gather_stride: int = 1) -> dict:
+                        gather_stride: int = 1,
+                        gather_nearest: bool = False) -> dict:
     """Project query points into every reference ERP view and gather.
 
     Reference ``render_ops.py:234-257`` — but in POINT-MAJOR layout:
@@ -264,7 +265,8 @@ def project_points_dict(ref_data: dict, que_pts: Array,
             xy_sub = xy4[tuple(sl)]                  # kk on the dn axis
             xy_sub_vm = jnp.moveaxis(xy_sub.reshape(-1, rfn, 2), 1, 0)
             g = interpolate_feats_pointmajor(
-                ref_data["merged_full"], xy_sub_vm, h, w)
+                ref_data["merged_full"], xy_sub_vm, h, w,
+                nearest=gather_nearest)
             c = g.shape[-1]
             gshp = ((qn, kk, rn) if depth_major else (qn, rn, kk))
             g = g.reshape(*gshp, rfn, c)
@@ -290,7 +292,8 @@ def project_points_dict(ref_data: dict, que_pts: Array,
             allf = full[tuple(crop)].reshape(-1, rfn, c)
         else:
             allf = interpolate_feats_pointmajor(ref_data["merged_full"],
-                                                xy_vm, h, w)
+                                                xy_vm, h, w,
+                                                nearest=gather_nearest)
         ni = ref_data["img_feats"].shape[-1]
         prj_rgb = allf[..., :3]
         prj_ray_feats = allf[..., 3:3 + nd]

@@ -99,6 +99,13 @@ class NeuralRayGenRenderer(nn.Module):
     # per-frame latency floor, so S=2 halves the dominant cost; quality
     # A/B in tools/ab_quality.py before changing the default.
     gather_stride: int = 1
+    # nearest-tap merged-map fetch (fast_gather only): ONE flat-row gather
+    # per (sample, view) instead of the 2x2 bilinear window — halves the
+    # fetched DRAM segments of the dominant per-frame cost.  The merged
+    # map is already 4x-bilinearly-upsampled, so rounding displaces a
+    # smooth feature lookup by <= 0.5 px; quality A/B in tools/ab_quality
+    # (mode 'nearest') before changing the serving default.
+    gather_nearest: bool = False
     # separate stride for the FINE pass (0 -> gather_stride).  Fine
     # samples are importance-resampled around surfaces, so consecutive
     # samples sit closer together on the epipolar curve than coarse ones
@@ -136,6 +143,13 @@ class NeuralRayGenRenderer(nn.Module):
     # merge_uniform_diner) / pre-render union (reference contain_uniform)
     diner_n_uniform: int = 0
     diner_contain_uniform: int = 0
+
+    # MEASUREMENT-ONLY stage ablation for perf attribution (bench.py
+    # --ablate): 'agg' replaces the IBR aggregation with a trivial
+    # reduction of the gathered rows; 'gather' replaces the merged-map
+    # row fetch with a constant row (geometry/projection math intact).
+    # Output images are garbage — never use outside benchmarking.
+    ablate: str = ""
 
     # 'ERP' (ResUNetLight) or 'ERP+TP' (dual ERP + tangent-patch encoder,
     # reference local_feature_type / init_net_feature_type knobs,
@@ -277,10 +291,19 @@ class NeuralRayGenRenderer(nn.Module):
         # stride > dn would collapse every ray to ONE fetched row
         # (constant features along the ray) — clamp for small debug dn
         stride = max(1, min(stride, que_depth.shape[-1] // 2))
-        prj = ro.project_points_dict(ref_data, que_pts, conv,
+        ref_for_prj = ref_data
+        if "gather" in self.ablate and "merged_full" in ref_data:
+            # perf attribution only: constant 1x1 map -> the row "fetch"
+            # degenerates to a broadcast while every other stage
+            # (projection math, decode, agg, composite) runs unchanged
+            ref_for_prj = dict(ref_data)
+            ref_for_prj["merged_full"] = \
+                ref_data["merged_full"][:, :1, :1] * 0 + 0.1
+        prj = ro.project_points_dict(ref_for_prj, que_pts, conv,
                                      que_dir=que_dir.astype(dt),
                                      depth_major=self.gather_depth_major,
-                                     gather_stride=stride)
+                                     gather_stride=stride,
+                                     gather_nearest=self.gather_nearest)
 
         if "stats" in prj:
             # decode-on-map: per-sample stats were gathered with the row
@@ -308,8 +331,15 @@ class NeuralRayGenRenderer(nn.Module):
         prj["hit_prob"] = hit_prob[..., None].astype(dt)
         prj["dir"] = prj["dir"].astype(dt)
 
-        agg = self.fine_agg_net if is_fine else self.agg_net
-        density, colors = agg(prj, que_dir.astype(dt))
+        if "agg" in self.ablate:
+            # perf attribution only: trivial per-point reduction in place
+            # of the IBR aggregation (keeps gather + decode + composite)
+            density = jnp.sum(prj["hit_prob"][..., 0] + 1e-3 *
+                              jnp.sum(prj["ray_feats"], -1), axis=-1)
+            colors = jnp.mean(prj["rgb"], axis=-2)
+        else:
+            agg = self.fine_agg_net if is_fine else self.agg_net
+            density, colors = agg(prj, que_dir.astype(dt))
         density = density.astype(jnp.float32)
         colors = colors.astype(jnp.float32)
         comp = ro.density2outputs(density, colors, que_depth)

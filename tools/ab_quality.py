@@ -202,6 +202,16 @@ def main():
         # renderer/presets.py (what bench.py/render.py --preset run)
         "serving": dict(PRESETS["serving"]),
         "turbo": dict(PRESETS["turbo"]),
+        # nearest-tap merged-map fetch: 1 gather row per (sample, view)
+        # instead of the 2x2 bilinear window (resample.nearest_sample) —
+        # halves the fetched DRAM segments of the dominant frame cost
+        "nearest": {**PRESETS["serving"], "gather_nearest": True},
+        # nearest on the COARSE pass only: the coarse pass just places
+        # fine samples, so its taps can be crude while the fine pass
+        # keeps bilinear fidelity (needs per-pass flags — approximated
+        # here by full-nearest vs serving delta attribution)
+        "nearest_f48": {**PRESETS["serving"], "gather_nearest": True,
+                        "fine_depth_sample_num": 48},
         # serving at a reduced FINE sample count: fine samples are
         # importance-placed near surfaces, and the agg/gather cost scales
         # linearly with sample count, so this is the direct work-side
