@@ -91,7 +91,7 @@ def main():
                     default=True,
                     help="skip the per-stage MFU/roofline measurement")
     ap.add_argument("--ablate", default="",
-                    choices=["", "agg", "gather", "agg+gather"],
+                    choices=["", "agg", "gather", "agg+gather", "attn"],
                     help="MEASUREMENT-ONLY stage ablation: time the frame "
                          "with the aggregation (or the merged-map row "
                          "fetch) replaced by a trivial stand-in — the "

@@ -61,6 +61,14 @@ class MultiHeadAttention(nn.Module):
     d_model: int = 16
     d_k: int = 4
     d_v: int = 4
+    # NOTE: a "folded" self-attention rewrite (precompose the tiny head
+    # matrices into per-head (16,16) composites A_h = Wq_h Wk_h^T/sqrt(dk),
+    # B_h = Wv_h Wfc_h, so the whole block is 4 batched matmuls with
+    # contraction dims 16/256 instead of 5 with d_k=4) measured SLOWER on
+    # the real chip: 1362 vs 1237 ms/frame at the r4 serving point — the
+    # (b, h, q, 16) intermediates cost more HBM traffic than the skinny
+    # d_k=4 contractions save on the MXU.  Culled (r4); don't re-add
+    # without a whole-frame measurement.
 
     @nn.compact
     def __call__(self, q: Array, k: Array, v: Array,
@@ -280,6 +288,16 @@ class IBRNetWithNeuRay(nn.Module):
     # Skip the view-blended RGB head (serving coarse pass: only the density
     # importance is consumed, so this is bit-exact for the fine image).
     geometry_only: bool = False
+    # MEASUREMENT-ONLY (bench --ablate attn): bypass the ray attention
+    # (globalfeat passes through) to attribute its in-context frame cost.
+    ablate_attention: bool = False
+    # Depth-major ('dnr') input layout: inputs arrive (qn*dn, rn, v, c)
+    # straight from the depth-major gather (render_ops, layout='dnr') and
+    # dnr_dims = (qn, dn, rn).  The per-point pool is layout-blind; only
+    # the POOLED 16/3/1-ch outputs get transposed to ray-major for the
+    # ray attention — instead of ~90 channels of rows upstream.  Values
+    # identical to the ray-major path (pure reordering).
+    dnr_dims: tuple | None = None
 
     def _pool_params(self, in_dim: int, nd: int) -> dict:
         """Declare the pooled-stage parameter tree (shared by the Pallas
@@ -310,29 +328,47 @@ class IBRNetWithNeuRay(nn.Module):
     def __call__(self, rgb_feat: Array, neuray_feat: Array, ray_diff: Array,
                  mask: Array) -> Array:
         """``neuray_feat`` is the 32-ch prob embedding."""
-        nr, dn, v, f = rgb_feat.shape
+        a0, a1, v, f = rgb_feat.shape
+        if self.dnr_dims is not None:
+            qn, dn, rn = self.dnr_dims
+            assert (a0, a1) == (qn * dn, rn), (a0, a1, self.dnr_dims)
+            nr = qn * rn
+        else:
+            nr, dn = a0, a1
         nd = self.neuray_in_dim
         params = self._pool_params(f, nd)
         dt = rgb_feat.dtype
         params = jax.tree.map(lambda x: x.astype(dt), params)
 
         def flat(t):
-            return t.reshape(nr * dn, v, t.shape[-1])
+            return t.reshape(a0 * a1, v, t.shape[-1])
 
         geo, rgb_out, nvalid = pool_reference(
             flat(rgb_feat), flat(neuray_feat), flat(ray_diff), flat(mask),
             params, self.geometry_only)
         # keep the ray attention in the compute dtype (bf16 inference) —
         # forcing f32 here doubled the attention pass's HBM traffic
-        geo = geo.reshape(nr, dn, 16).astype(dt)
-        rgb_out = rgb_out.reshape(nr, dn, 3)
-        num_valid_obs = nvalid.reshape(nr, dn, 1).astype(jnp.float32)
+        if self.dnr_dims is not None:
+            def to_ray_major(t):
+                c = t.shape[-1]
+                return jnp.swapaxes(t.reshape(qn, dn, rn, c), 1, 2) \
+                    .reshape(nr, dn, c)
+            geo = to_ray_major(geo).astype(dt)
+            rgb_out = to_ray_major(rgb_out)
+            num_valid_obs = to_ray_major(nvalid).astype(jnp.float32)
+        else:
+            geo = geo.reshape(nr, dn, 16).astype(dt)
+            rgb_out = rgb_out.reshape(nr, dn, 3)
+            num_valid_obs = nvalid.reshape(nr, dn, 1).astype(jnp.float32)
 
         pos = jnp.asarray(sinusoid_pos_encoding(dn, 16)).astype(dt)
         globalfeat = geo + pos[None]
         attn_mask = (num_valid_obs[..., 0] > 1).astype(dt)
-        globalfeat = MultiHeadAttention(name="ray_attention")(
-            globalfeat, globalfeat, globalfeat, mask=attn_mask[..., None])
+        if not self.ablate_attention:
+            globalfeat = MultiHeadAttention(
+                name="ray_attention")(
+                globalfeat, globalfeat, globalfeat,
+                mask=attn_mask[..., None])
         sigma = _Seq((16, 1), final_act="relu",
                      name="out_geometry_fc")(globalfeat).astype(jnp.float32)
         sigma = jnp.where(num_valid_obs < 1, 0.0, sigma)
@@ -348,19 +384,29 @@ class DefaultAggregationNet(nn.Module):
     wo_geometry: bool = False
     wo_appearance: bool = False
     geometry_only: bool = False
+    ablate_attention: bool = False   # measurement-only (see IBRNet field)
 
     @nn.compact
     def __call__(self, prj_dict: dict, que_dir: Array) -> tuple:
         """
         :param prj_dict: per-view projections, each (qn, rn, dn, rfn, .)
             — POINT-MAJOR: ``hit_prob``, ``vis``, ``rgb``, ``dir``,
-            ``ray_feats``, ``img_feats``, optional ``mask``.
+            ``ray_feats``, ``img_feats``, optional ``mask``.  With
+            ``prj_dict['layout'] == 'dnr'`` the tensors are depth-major
+            (qn, dn, rn, rfn, .) and ``dir_diff`` must be present (the
+            raw ``dir``/``que_dir`` fallback is ray-major only).
         :param que_dir: (qn, rn, dn, 3) query ray directions.
         :return: (density (qn, rn, dn), colors (qn, rn, dn, 3)).
         """
         hit_prob = (prj_dict["hit_prob"] - 0.5) * 2.0
         vis = (prj_dict["vis"] - 0.5) * 2.0
-        qn, rn, dn, rfn, _ = hit_prob.shape
+        dnr = prj_dict.get("layout") == "dnr"
+        if dnr:
+            assert "dir_diff" in prj_dict, \
+                "'dnr' layout requires the precomputed dir_diff"
+            qn, dn, rn, rfn, _ = hit_prob.shape
+        else:
+            qn, rn, dn, rfn, _ = hit_prob.shape
 
         nd_raw = prj_dict["ray_feats"].shape[-1]
         dt_ = hit_prob.dtype
@@ -387,8 +433,12 @@ class DefaultAggregationNet(nn.Module):
                               axis=-1, keepdims=True)
             dir_diff = jnp.concatenate([dir_diff, dir_dot], axis=-1)
 
-        def to_rays(t):  # (qn, rn, dn, rfn, c) -> (qn*rn, dn, rfn, c)
-            return t.reshape(qn * rn, dn, rfn, t.shape[-1])
+        if dnr:
+            def to_rays(t):  # (qn, dn, rn, rfn, c) -> (qn*dn, rn, rfn, c)
+                return t.reshape(qn * dn, rn, rfn, t.shape[-1])
+        else:
+            def to_rays(t):  # (qn, rn, dn, rfn, c) -> (qn*rn, dn, rfn, c)
+                return t.reshape(qn * rn, dn, rfn, t.shape[-1])
 
         img_feats = jnp.concatenate([prj_dict["rgb"], prj_dict["img_feats"]],
                                     axis=-1)
@@ -396,10 +446,12 @@ class DefaultAggregationNet(nn.Module):
             img_feats = jnp.zeros_like(img_feats)
         mask = prj_dict.get("mask")
         if mask is None:
-            mask = jnp.ones((qn, rn, dn, rfn, 1), img_feats.dtype)
+            mask = jnp.ones((*hit_prob.shape[:-1], 1), img_feats.dtype)
 
         out = IBRNetWithNeuRay(self.neuray_dim, self.in_feat_ch, dn,
                                geometry_only=self.geometry_only,
+                               ablate_attention=self.ablate_attention,
+                               dnr_dims=(qn, dn, rn) if dnr else None,
                                name="agg_impl")(
             to_rays(img_feats), to_rays(prob_embedding), to_rays(dir_diff),
             to_rays(mask))

@@ -38,6 +38,23 @@ def get_near_far_intervals_ref(depth: Array, interval: Array,
     return near, far
 
 
+def get_near_far_intervals_ref_dm(depth: Array, interval: Array,
+                                  depth_range: Array) -> tuple:
+    """Depth-major ('dnr') twin of :func:`get_near_far_intervals_ref`:
+    ``depth`` is (qn, dn, rn, rfn) and ``interval`` stays ray-major
+    (qn, rn, dn) — only the 1-channel half-interval gets transposed.
+    Same math, same values, different memory order."""
+    near_inv = -1.0 / depth_range[:, 0]            # (rfn,)
+    far_inv = -1.0 / depth_range[:, 1]
+    d = jnp.maximum(depth, 1e-5)
+    d = (-1.0 / d - near_inv) / (far_inv - near_inv)
+    half = interval / 2.0                          # (qn, rn, dn)
+    half_ext = jnp.concatenate([half[..., 0:1], half], axis=-1)
+    lo = jnp.swapaxes(half_ext[..., :-1], 1, 2)    # (qn, dn, rn)
+    hi = jnp.swapaxes(half_ext[..., 1:], 1, 2)
+    return d - lo[..., None], d + hi[..., None]
+
+
 def get_near_far_intervals_que(depth: Array, interval: Array,
                                depth_range: Array) -> tuple:
     """Query-ray mode (is_ref=False): bins from midpoints between samples."""

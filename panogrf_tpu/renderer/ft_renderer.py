@@ -59,6 +59,8 @@ class NeuralRayFtRenderer(nn.Module):
     gather_depth_major: bool = False
     gather_stride: int = 1
     gather_stride_fine: int = 0
+    gather_nearest: bool = False
+    ablate: str = ""   # measurement-only stage ablation (see gen renderer)
 
     def setup(self):
         fh, fw = self.ray_feats_hw

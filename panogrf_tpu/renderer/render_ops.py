@@ -200,8 +200,18 @@ def project_points_dict(ref_data: dict, que_pts: Array,
     are then adjacent ERP rays at the SAME depth index, whose projections
     sit ~1 px apart — near-sequential HBM access — instead of consecutive
     samples of one ray, which walk the whole epipolar curve.  TPU gathers
-    are DRAM-locality-bound, so row order is a first-class lever; outputs
-    are transposed back, numerics identical.
+    are DRAM-locality-bound, so row order is a first-class lever.
+    Outputs then STAY in the (qn, dn, rn, rfn, c) layout, marked by
+    ``out["layout"] == "dnr"`` — the per-point decode/prob/pool math is
+    layout-blind, so only the 16-ch pooled features get transposed to
+    ray-major for the ray attention (inside the agg net) instead of ~90
+    channels of rows here.  Numerics identical either way (measured: the
+    r4 stage ablations put these output transposes inside the 678 ms
+    non-agg non-gather frame cost).
+
+    Dead outputs are not materialized: ``pts`` has no consumers, and
+    ``dir`` is only emitted when ``que_dir`` is None (otherwise the
+    fused ``dir_diff`` is what the aggregation consumes).
 
     ``ref_data`` keys (channel-last): ``imgs`` (rfn, H, W, 3), ``w2c``
     (rfn, 3, 4), ``ray_feats`` (rfn, fh, fw, F), ``img_feats``.
@@ -218,7 +228,18 @@ def project_points_dict(ref_data: dict, que_pts: Array,
     w2c = ref_data["w2c"]                                     # (rfn, 3, 4)
     cam = (jnp.einsum("vij,pj->pvi", w2c[:, :, :3], pts)
            + w2c[None, :, :, 3])                              # (pn, rfn, 3)
-    prj_xy, prj_depth = convention.project_to_pixels(cam, h, w)
+    # At gather stride s only every s-th sample's PIXEL coords are
+    # consumed (the rows in between are lerped) — so run the
+    # transcendental part of the projection (atan2/acos/mod) on the
+    # strided subset only, inside the stride branch below.  The spherical
+    # "depth" is needed for ALL samples but is just the camera-frame
+    # norm (bit-identical to project_to_pixels' radius channel).
+    stride_geom = "merged_full" in ref_data and gather_stride > 1
+    if stride_geom:
+        prj_xy = None
+        prj_depth = jnp.linalg.norm(cam, axis=-1)             # (pn, rfn)
+    else:
+        prj_xy, prj_depth = convention.project_to_pixels(cam, h, w)
 
     # view directions: from point towards the ref camera (negated unit),
     # reference ``render_ops.py:195-209``.
@@ -238,7 +259,7 @@ def project_points_dict(ref_data: dict, que_pts: Array,
         dot = jnp.sum(pd * qd, axis=-1, keepdims=True)
         prj_dir_diff = jnp.concatenate([pd - qd, dot], axis=-1)
 
-    xy_vm = jnp.swapaxes(prj_xy, 0, 1)                        # (rfn, pn, 2)
+    xy_vm = None if stride_geom else jnp.swapaxes(prj_xy, 0, 1)
     if "merged_full" in ref_data:
         # fast_gather: ONE row fetch per (sample, view) from the full-res
         # [rgb | ray_feats | img_feats] map (renderer.prepare_ref).
@@ -259,10 +280,12 @@ def project_points_dict(ref_data: dict, que_pts: Array,
             ax = 1 if depth_major else 2
             kk = -(-dn // s)                         # ceil(dn / s)
             shp = ((qn, dn, rn) if depth_major else (qn, rn, dn))
-            xy4 = prj_xy.reshape(*shp, rfn, 2)
+            cam5 = cam.reshape(*shp, rfn, 3)
             sl = [slice(None)] * 5
             sl[ax] = slice(0, dn, s)
-            xy_sub = xy4[tuple(sl)]                  # kk on the dn axis
+            # project ONLY the fetched samples (same values as slicing a
+            # full-resolution projection — elementwise op)
+            xy_sub, _ = convention.project_to_pixels(cam5[tuple(sl)], h, w)
             xy_sub_vm = jnp.moveaxis(xy_sub.reshape(-1, rfn, 2), 1, 0)
             g = interpolate_feats_pointmajor(
                 ref_data["merged_full"], xy_sub_vm, h, w,
@@ -301,18 +324,17 @@ def project_points_dict(ref_data: dict, que_pts: Array,
 
         def rs(t):
             if depth_major:
-                return jnp.swapaxes(
-                    t.reshape(qn, dn, rn, rfn, -1), 1, 2)
+                return t.reshape(qn, dn, rn, rfn, -1)   # 'dnr' layout
             return t.reshape(qn, rn, dn, rfn, -1)
 
         out = {
-            "dir": rs(prj_dir),
-            "pts": rs(prj_xy),
             "depth": rs(prj_depth[..., None]),
             "ray_feats": rs(prj_ray_feats),
             "rgb": rs(prj_rgb),
             "img_feats": rs(prj_img_feats),
         }
+        if depth_major:
+            out["layout"] = "dnr"
         if allf.shape[-1] > 3 + nd + ni:
             # decode-on-map stats channels riding the same gather row
             # (renderer.prepare_ref appends them; the renderer splits
@@ -320,6 +342,8 @@ def project_points_dict(ref_data: dict, que_pts: Array,
             out["stats"] = rs(allf[..., 3 + nd + ni:])
         if prj_dir_diff is not None:
             out["dir_diff"] = rs(prj_dir_diff)
+        else:
+            out["dir"] = rs(prj_dir)
         return out
     prj_rgb = interpolate_feats_pointmajor(ref_data["imgs"], xy_vm, h, w)
     if "merged_feats" in ref_data:
@@ -336,19 +360,21 @@ def project_points_dict(ref_data: dict, que_pts: Array,
 
     def rs(t):
         if depth_major:
-            return jnp.swapaxes(t.reshape(qn, dn, rn, rfn, -1), 1, 2)
+            return t.reshape(qn, dn, rn, rfn, -1)       # 'dnr' layout
         return t.reshape(qn, rn, dn, rfn, -1)
 
     out = {
-        "dir": rs(prj_dir),
-        "pts": rs(prj_xy),
         "depth": rs(prj_depth[..., None]),
         "ray_feats": rs(prj_ray_feats),
         "rgb": rs(prj_rgb),
         "img_feats": rs(prj_img_feats),
     }
+    if depth_major:
+        out["layout"] = "dnr"
     if prj_dir_diff is not None:
         out["dir_diff"] = rs(prj_dir_diff)
+    else:
+        out["dir"] = rs(prj_dir)
     return out
 
 

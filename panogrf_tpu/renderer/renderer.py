@@ -183,12 +183,15 @@ class NeuralRayGenRenderer(nn.Module):
             n_samples=self.depth_sample_num,
             geometry_only=(self.coarse_geometry_only
                            and self.use_hierarchical_sampling),
+            ablate_attention=(self.ablate == "attn"),
             name="agg_net")
         if self.use_hierarchical_sampling:
             self.fine_dist_decoder = MixtureLogisticsDistDecoder(
                 use_vis=self.use_vis, name="fine_dist_decoder")
             self.fine_agg_net = DefaultAggregationNet(
-                n_samples=self.fine_depth_sample_num, name="fine_agg_net")
+                n_samples=self.fine_depth_sample_num,
+                ablate_attention=(self.ablate == "attn"),
+                name="fine_agg_net")
 
     @property
     def convention(self):
@@ -320,16 +323,26 @@ class NeuralRayGenRenderer(nn.Module):
             decoder = (self.fine_dist_decoder if is_fine
                        else self.dist_decoder)
             mean, var, vis, aw = decoder(prj["ray_feats"])
-        # probability math in float32 regardless of compute dtype
+        # probability math in float32 regardless of compute dtype; all of
+        # it is per-point, so it runs in whichever layout the projection
+        # emitted ('dnr' = depth-major rows stay untransposed, see
+        # render_ops.project_points_dict)
         f32 = lambda t: None if t is None else t.astype(jnp.float32)
-        near, far = get_near_far_intervals_ref(
-            prj["depth"][..., 0], que_dists, ref_depth_range)
+        if prj.get("layout") == "dnr":
+            from panogrf_tpu.renderer.dist_decoder import \
+                get_near_far_intervals_ref_dm
+            near, far = get_near_far_intervals_ref_dm(
+                prj["depth"][..., 0], que_dists, ref_depth_range)
+        else:
+            near, far = get_near_far_intervals_ref(
+                prj["depth"][..., 0], que_dists, ref_depth_range)
         alpha, visibility, hit_prob = compute_prob(
             near, far, f32(mean), f32(var), f32(vis), f32(aw), self.use_vis)
         prj["alpha"] = alpha[..., None].astype(dt)
         prj["vis"] = visibility[..., None].astype(dt)
         prj["hit_prob"] = hit_prob[..., None].astype(dt)
-        prj["dir"] = prj["dir"].astype(dt)
+        if "dir" in prj:
+            prj["dir"] = prj["dir"].astype(dt)
 
         if "agg" in self.ablate:
             # perf attribution only: trivial per-point reduction in place
@@ -337,6 +350,9 @@ class NeuralRayGenRenderer(nn.Module):
             density = jnp.sum(prj["hit_prob"][..., 0] + 1e-3 *
                               jnp.sum(prj["ray_feats"], -1), axis=-1)
             colors = jnp.mean(prj["rgb"], axis=-2)
+            if prj.get("layout") == "dnr":
+                density = jnp.swapaxes(density, 1, 2)
+                colors = jnp.swapaxes(colors, 1, 2)
         else:
             agg = self.fine_agg_net if is_fine else self.agg_net
             density, colors = agg(prj, que_dir.astype(dt))

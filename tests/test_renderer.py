@@ -403,3 +403,4 @@ def test_pool_geometry_only_matches_full():
     np.testing.assert_array_equal(np.asarray(g_full), np.asarray(g_geo))
     np.testing.assert_array_equal(np.asarray(nv_full), np.asarray(nv_geo))
     assert float(jnp.abs(rgb_geo).max()) == 0.0
+
