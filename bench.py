@@ -69,6 +69,11 @@ def main():
                     help="nearest-tap merged-map fetch (1 row/point "
                          "instead of the 2x2 bilinear window; quality "
                          "A/B in tools/ab_quality, mode 'nearest')")
+    ap.add_argument("--coarse-lowres", type=int, default=1,
+                    help="run the coarse importance pass on an (H/f, W/f) "
+                         "ray grid and bilinearly upsample its hit-prob "
+                         "to drive the full-res fine pass (serving only; "
+                         "quality A/B in tools/ab_quality, modes clr2/4)")
     ap.add_argument("--no-decode-on-map", dest="decode_on_map",
                     action="store_false", default=None,
                     help="disable decode-on-map (per-sample dist-decoder "
@@ -168,7 +173,7 @@ def main():
     def frame_sum(ref_data, c2w):
         rgb = full_render.render_image_device(
             model, params, ref_data, c2w, qdr, ref_info["depth_range"],
-            chunk=chunk, mode=mode)
+            chunk=chunk, mode=mode, coarse_lowres=args.coarse_lowres)
         return rgb.sum()
 
     # warmup / compile
@@ -200,6 +205,8 @@ def main():
         name += f"_{args.preset}"
     if args.ablate:
         name += f"_ablate_{args.ablate}"
+    if args.coarse_lowres > 1:
+        name += f"_clr{args.coarse_lowres}"
     result = {
         "metric": name,
         "value": round(sec * 1000.0, 2),

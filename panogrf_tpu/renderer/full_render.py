@@ -51,7 +51,8 @@ def render_image_device(model: NeuralRayGenRenderer, params: Any,
                         que_depth_range: Array, ref_depth_range: Array,
                         chunk: int = 8192, mode: str = "hierarchical",
                         n_candidates: int = 128, n_uniform: int = 0,
-                        contain_uniform: int = 0) -> Array:
+                        contain_uniform: int = 0,
+                        coarse_lowres: int = 1) -> Array:
     """Whole-pano render as ONE jitted computation.
 
     The chunk loop runs on-device via ``lax.map`` (compiles the chunk body
@@ -62,6 +63,15 @@ def render_image_device(model: NeuralRayGenRenderer, params: Any,
         'diner' (occlusion-aware depth-guided sampling, the reference's
         own low-sample operating point — needs ``mvs_depth`` and
         ``mvs_uncert`` in ``ref_data``).
+    :param coarse_lowres: f > 1 runs the COARSE importance pass on an
+        (H/f, W/f) ray grid and bilinearly upsamples its hit-prob CDF to
+        drive the full-res fine pass (serving only; valid because the
+        deterministic stratified depth ticks are identical for every
+        ray — see ``NeuralRayGenRenderer.coarse_hit_probs``).  Coarse
+        cost (gather + aggregation + projection) drops by ~f²; quality
+        A/B in tools/ab_quality.py (modes ``clr2``/``clr4``).  f == 1
+        through this path is bit-exact to the standard hierarchical
+        render (regression-tested).
     :return: rgb (H, W, 3) on device.
     """
     h, w = model.height, model.width
@@ -71,6 +81,46 @@ def render_image_device(model: NeuralRayGenRenderer, params: Any,
     xs, ys = np.meshgrid(np.arange(w), np.arange(h))
     coords = jnp.asarray(
         np.stack([xs, ys], -1).reshape(n // chunk, 1, chunk, 2), jnp.float32)
+
+    if coarse_lowres > 1 or (coarse_lowres == 1 and mode == "lowres_test"):
+        assert mode in ("hierarchical", "lowres_test") and \
+            model.use_hierarchical_sampling and not model.light_coarse
+        f = coarse_lowres
+        assert h % f == 0 and w % f == 0, (h, w, f)
+        lh, lw = h // f, w // f
+        nlr = lh * lw
+        lchunk = min(chunk, nlr)
+        assert nlr % lchunk == 0, (nlr, lchunk)
+        # low-res rays sample the CENTER pixel of each f x f cell
+        lxs, lys = np.meshgrid(np.arange(lw) * f + f // 2,
+                               np.arange(lh) * f + f // 2)
+        lcoords = jnp.asarray(
+            np.stack([lxs, lys], -1).reshape(nlr // lchunk, 1, lchunk, 2),
+            jnp.float32)
+
+        def coarse_chunk(c):
+            return model.apply(
+                params, ref_data, c, que_c2w, que_depth_range,
+                ref_depth_range,
+                method=NeuralRayGenRenderer.coarse_hit_probs)[0]
+
+        hit = jax.lax.map(coarse_chunk, lcoords)     # (nc, lchunk, dn)
+        dn = hit.shape[-1]
+        from panogrf_tpu.nn.blocks import resize_linear
+        hit_full = resize_linear(hit.reshape(lh, lw, dn), (h, w),
+                                 axes=(0, 1))
+        hit_full = hit_full.reshape(n // chunk, 1, chunk, dn)
+
+        def fine_chunk(args):
+            c, hp = args
+            out = model.apply(
+                params, ref_data, c, hp, que_c2w, que_depth_range,
+                ref_depth_range,
+                method=NeuralRayGenRenderer.render_fine_from_hit)
+            return out["pixel_colors_nr_fine"][0]
+
+        rgb = jax.lax.map(fine_chunk, (coords, hit_full))
+        return jnp.clip(rgb.reshape(h, w, 3), 0.0, 1.0)
 
     def render_chunk(c):
         if mode == "diner":

@@ -489,6 +489,51 @@ class NeuralRayGenRenderer(nn.Module):
                 outputs[k + "_fine"] = v
         return outputs
 
+    def coarse_hit_probs(self, ref_data: dict, coords: Array,
+                         que_c2w: Array, que_depth_range: Array,
+                         ref_depth_range: Array) -> Array:
+        """Coarse importance only: deterministic stratified depths + the
+        full coarse pass, returning ``hit_prob_nr`` (qn, rn, dn).
+
+        Serving-only building block for the LOW-RES COARSE pass
+        (``full_render.render_image_device(coarse_lowres=f)``): in
+        deterministic mode ``sample_depth`` gives every ray the SAME
+        depth ticks, so one ray's hit-probability CDF is directly
+        applicable to its neighbours — the coarse pass can run on an
+        (H/f, W/f) ray grid and be bilinearly upsampled.  The reference
+        has no analogue (its coarse pass always runs per output ray,
+        ``network/renderer.py:567-633``).
+        """
+        qn, rn, _ = coords.shape
+        que_depth, _ = ro.sample_depth(qn, rn, self.depth_sample_num,
+                                       self.min_depth, self.max_depth,
+                                       self.use_disp, None)
+        out = self.render_by_depth(que_depth, coords, que_c2w,
+                                   que_depth_range, ref_data,
+                                   ref_depth_range, is_fine=False)
+        return out["hit_prob_nr"]
+
+    def render_fine_from_hit(self, ref_data: dict, coords: Array,
+                             hit_prob: Array, que_c2w: Array,
+                             que_depth_range: Array,
+                             ref_depth_range: Array) -> dict:
+        """Fine pass driven by an externally-supplied coarse importance
+        (see :meth:`coarse_hit_probs`).  With ``hit_prob`` equal to this
+        model's own coarse ``hit_prob_nr`` the output is bit-exact to the
+        hierarchical path (deterministic sampling only — the inverse-CDF
+        output is already sorted)."""
+        qn, rn, _ = coords.shape
+        que_depth, _ = ro.sample_depth(qn, rn, self.depth_sample_num,
+                                       self.min_depth, self.max_depth,
+                                       self.use_disp, None)
+        fine_depth = ro.sample_fine_depth(
+            que_depth, hit_prob, que_depth_range,
+            self.fine_depth_sample_num, None, inv_mode=self.use_disp)
+        fine_out = self.render_by_depth(fine_depth, coords, que_c2w,
+                                        que_depth_range, ref_data,
+                                        ref_depth_range, is_fine=True)
+        return {**fine_out, **{k + "_fine": v for k, v in fine_out.items()}}
+
     def render_rays_diner(self, ref_data: dict, coords: Array,
                           que_c2w: Array, que_depth_range: Array,
                           ref_depth_range: Array,

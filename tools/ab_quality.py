@@ -252,6 +252,11 @@ def main():
         if m and mode not in mode_cfgs:
             mode_cfgs[mode] = {"fast_gather": True,
                                "compute_dtype": "bfloat16"}
+        # clr<f>: the serving preset with the COARSE pass on an (H/f, W/f)
+        # ray grid, hit-prob bilinearly upsampled to drive the full-res
+        # fine pass (full_render.render_image_device coarse_lowres)
+        if _re.fullmatch(r"clr\d+", mode) and mode not in mode_cfgs:
+            mode_cfgs[mode] = dict(PRESETS["serving"])
     # NOTE: 'light_coarse' now decodes the FULL-res upsampled map under
     # fast_gather (renderer.prepare_ref); the recorded -6.9 dB was the
     # 1/4-res variant — re-run before citing.
@@ -290,6 +295,15 @@ def main():
                     chunk=min(2048, H * W), mode="diner",
                     n_candidates=n_cand, n_uniform=n_uni,
                     contain_uniform=c_uni)
+                out = {"rgb": rgb}
+            elif mode.startswith("clr"):
+                ref_data = full_render.prepare_ref_data(model, params,
+                                                        ref_info)
+                rgb = full_render.render_image_device(
+                    model, params, ref_data, c2w,
+                    jnp.asarray([[0.5, 15.0]]), ref_info["depth_range"],
+                    chunk=min(2048, H * W),
+                    coarse_lowres=int(mode[3:]))
                 out = {"rgb": rgb}
             else:
                 out = full_render.render_image(
