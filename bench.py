@@ -69,11 +69,12 @@ def main():
                     help="nearest-tap merged-map fetch (1 row/point "
                          "instead of the 2x2 bilinear window; quality "
                          "A/B in tools/ab_quality, mode 'nearest')")
-    ap.add_argument("--coarse-lowres", type=int, default=1,
+    ap.add_argument("--coarse-lowres", type=int, default=None,
                     help="run the coarse importance pass on an (H/f, W/f) "
                          "ray grid and bilinearly upsample its hit-prob "
-                         "to drive the full-res fine pass (serving only; "
-                         "quality A/B in tools/ab_quality, modes clr2/4)")
+                         "to drive the full-res fine pass (default: the "
+                         "preset's factor — serving f=2, turbo f=4; "
+                         "quality A/B AB_QUALITY_r5.json clr2/clr4)")
     ap.add_argument("--no-decode-on-map", dest="decode_on_map",
                     action="store_false", default=None,
                     help="disable decode-on-map (per-sample dist-decoder "
@@ -105,7 +106,8 @@ def main():
     args = ap.parse_args()
     from panogrf_tpu.renderer.renderer import NeuralRayGenRenderer
     from panogrf_tpu.renderer import full_render
-    from panogrf_tpu.renderer.presets import preset_kwargs, PRESET_CHUNK
+    from panogrf_tpu.renderer.presets import (preset_kwargs, PRESET_CHUNK,
+                                              PRESET_COARSE_LOWRES)
 
     H, W = 512, 1024
     DH, DW = 256, 512
@@ -164,6 +166,12 @@ def main():
 
     ref_data = full_render.prepare_ref_data(model, params, ref_info)
     mode = "diner" if args.diner else "hierarchical"
+    # low-res coarse factor: explicit flag wins, else the preset's; the
+    # diner / light-coarse / ablation paths have no standard coarse pass
+    clr = (args.coarse_lowres if args.coarse_lowres is not None
+           else PRESET_COARSE_LOWRES[args.preset])
+    if args.diner or args.light_coarse or args.ablate:
+        clr = 1
     if args.diner:
         ref_data["mvs_depth"] = ref_info["mvs_depth"]
         ref_data["mvs_uncert"] = 0.04 * jnp.ones_like(
@@ -173,7 +181,7 @@ def main():
     def frame_sum(ref_data, c2w):
         rgb = full_render.render_image_device(
             model, params, ref_data, c2w, qdr, ref_info["depth_range"],
-            chunk=chunk, mode=mode, coarse_lowres=args.coarse_lowres)
+            chunk=chunk, mode=mode, coarse_lowres=clr)
         return rgb.sum()
 
     # warmup / compile
@@ -205,8 +213,9 @@ def main():
         name += f"_{args.preset}"
     if args.ablate:
         name += f"_ablate_{args.ablate}"
-    if args.coarse_lowres > 1:
-        name += f"_clr{args.coarse_lowres}"
+    if args.coarse_lowres is not None and \
+            clr != PRESET_COARSE_LOWRES[args.preset]:
+        name += f"_clr{clr}"
     result = {
         "metric": name,
         "value": round(sec * 1000.0, 2),
@@ -294,8 +303,11 @@ def main():
             xy, _ = conv.project_to_pixels(cam, H, W)
             return jnp.swapaxes(xy, 0, 1)                     # (rfn, n, 2)
 
-        pts0 = jnp.concatenate([real_rows(64, s_c), real_rows(dn, s_f)],
-                               axis=1)
+        # at lowres factor f the coarse pass fetches 1/f^2 of the rows —
+        # keep the same chunk mix by truncating the coarse share
+        rc = real_rows(64, s_c)
+        rc = rc[:, : max(rc.shape[1] // (clr * clr), 1)]
+        pts0 = jnp.concatenate([rc, real_rows(dn, s_f)], axis=1)
 
         def g_gather(pts):
             v = interpolate_feats_pointmajor(merged, pts, H, W)
@@ -305,11 +317,13 @@ def main():
 
         n_chunks = H * W / chunk
         # frame agg time: the coarse pass is geometry_only (slightly
-        # cheaper than the timed full pass) — treat both as the timed one
-        agg_s = agg_chunk_s * n_chunks * 2
+        # cheaper than the timed full pass) — treat both as the timed
+        # one; at lowres factor f the coarse pass runs on 1/f^2 rays
+        agg_s = agg_chunk_s * n_chunks * (1 + 1 / (clr * clr))
         gather_s = gather_chunk_s * n_chunks
         fm = rl.frame_model(H, W, dn_fine=dn, stride=s_c, stride_fine=s_f,
-                            v=rfn, dtype=kw["compute_dtype"])
+                            v=rfn, lowres_coarse=clr,
+                            dtype=kw["compute_dtype"])
         ach = rl.achieved(fm, agg_s, gather_s)
         result.update({
             "agg_ms": round(agg_s * 1000, 1),

@@ -447,23 +447,27 @@ def select_mono(cfg, mvsnet: bool = False):
     else:
         layers = int(get("num_layers", get("mono_num_layers", 18)))
         fusion = str(get("fusion", get("mono_fusion", "cee")))
+    # SyncBN axis for data-parallel training (reference sync_batchnorm/;
+    # here nn.BatchNorm axis_name over the mesh's 'data' axis)
+    bn_axis = get("bn_axis", None)
     if name == "UniFuse":
         return UniFuse(max_depth=max_depth, uncertainty=uncert, wrap=wrap,
                        num_layers=layers, fusion_type=fusion,
-                       se_in_fusion=bool(get("se_in_fusion", True)))
+                       se_in_fusion=bool(get("se_in_fusion", True)),
+                       bn_axis=bn_axis)
     if name == "Equi":
         return EquiDepth(max_depth=max_depth, uncertainty=uncert, wrap=wrap,
-                         num_layers=layers)
+                         num_layers=layers, bn_axis=bn_axis)
     if name == "ERP+TP":
         return ERPTPDepth(max_depth=max_depth, uncertainty=uncert, wrap=wrap,
                           num_layers=layers, fusion_type=fusion,
                           se_in_fusion=bool(get("se_in_fusion", True)),
                           nrows=int(get("nrows", 4)),
                           patch_size=int(get("patchsize", 64)),
-                          fov=float(get("fov", 80.0)))
+                          fov=float(get("fov", 80.0)), bn_axis=bn_axis)
     if name == "Cube":
         return CubeDepth(max_depth=max_depth, uncertainty=uncert, wrap=wrap,
-                         num_layers=layers)
+                         num_layers=layers, bn_axis=bn_axis)
     raise ValueError(
         f"unknown mono_net {name!r}; available: {MONO_NETS} "
         "(PanoFormer/FreDSNet/ACDNet require external repos even in the "

@@ -66,6 +66,22 @@ def replicate_tree(mesh: Mesh, tree: Any) -> Any:
     return jax.device_put(tree, rep)
 
 
+def place_depth_batch(mesh: Mesh, batch: dict,
+                      axis: str = DATA_AXIS) -> dict:
+    """Shard every leaf of a depth batch along its leading (batch) dim on
+    the mesh's ``axis``.  Leading dims must be divisible by the axis size.
+    """
+    shd = NamedSharding(mesh, P(axis))
+    n = mesh.shape[axis]
+    for path, leaf in jax.tree_util.tree_flatten_with_path(batch)[0]:
+        if leaf.shape[0] % n:
+            raise ValueError(
+                f"batch leaf {path} has leading dim {leaf.shape[0]}, not "
+                f"divisible by the {n}-way '{axis}' mesh axis — use a "
+                f"batch size that is a multiple of the mesh size")
+    return jax.tree.map(lambda x: jax.device_put(x, shd), batch)
+
+
 def make_sharded_depth_step(forward_fn: Callable,
                             tx: optax.GradientTransformation, mesh: Mesh,
                             loss_type: str = "l1_sphere",

@@ -12,12 +12,19 @@ blessed compositions — the only ones the CLIs expose and the tests cover:
   Measured 4.8 s/frame at 512x1024 on one v5e.
 * ``serving`` — the shipped quality-neutral point: fast_gather + bf16 +
   depth-major rows + gather stride 4 (fine 16) + decode-on-map + coarse
-  RGB head skipped.  Whole-composition A/B: -0.03 dB vs bf16-exact
-  (AB_QUALITY_r3.json "serving").  1.31 s/frame.
-* ``turbo``   — the fastest documented point that is still a usable
-  image: serving + coarse stride 8 + fine stride 32 + 48 fine samples.
-  Each axis is individually ~-0.3 dB on the A/B (dmap_s8f8, dmap_s4f32);
-  the composition is A/B'd as "turbo" in tools/ab_quality.py.
+  RGB head skipped + the LOW-RES COARSE importance pass at f=2 (coarse
+  pass on an (H/2, W/2) ray grid, hit-prob upsampled —
+  ``full_render.render_image_device``).  Whole-composition A/B: +0.05 dB
+  vs serving-without-lowres, +0.06 dB vs bf16-exact (AB_QUALITY_r5.json
+  "clr2" vs "serving"/"bf16").  717 ms/frame at 512x1024 on one v5e
+  (BENCH_r05 protocol).
+* ``turbo``   — the fastest documented point: serving with the coarse
+  pass at f=4.  A/B +0.09 dB vs serving-without-lowres
+  (AB_QUALITY_r5.json "clr4" — the coarse grid only places fine
+  samples, and at f=4 its smoothing is still quality-neutral on the
+  A/B scenes).  577 ms/frame.  (The round-4 turbo — fine stride 32 +
+  48 fine samples — measured 7.2 PSNR on the r5 trained-ckpt A/B:
+  composition-broken, retired; see AB_QUALITY_r5.json "turbo_r4".)
 
 The reference has no equivalent — its renderer exposes raw cfg knobs
 (``network/renderer.py:37-66``) and every script re-lists them; here the
@@ -45,21 +52,31 @@ PRESETS: dict = {
         decode_on_map=True,
         coarse_geometry_only=True,
     ),
+    # turbo shares serving's model flags; the presets differ only in the
+    # render-path coarse_lowres factor below.  (The round-4 turbo's
+    # fine-stride-32 + 48-fine-samples composition measured 7.2 PSNR on
+    # the round-5 trained-checkpoint A/B — retired.)
     "turbo": dict(
         fast_gather=True,
         compute_dtype="bfloat16",
         gather_depth_major=True,
-        gather_stride=8,
-        gather_stride_fine=32,
+        gather_stride=4,
+        gather_stride_fine=16,
         decode_on_map=True,
         coarse_geometry_only=True,
-        fine_depth_sample_num=48,
     ),
 }
 
 # the chunk size each preset was swept at (rays per jitted chunk);
 # see bench.py chunk-sweep notes
 PRESET_CHUNK = {"exact": 128, "serving": 512, "turbo": 512}
+
+# RENDER-path knobs (args of full_render.render_image_device, not
+# renderer constructor kwargs): the low-res coarse importance factor.
+# f=2 cuts the coarse pass's ~80% share of the 83.9M gather rows 4x
+# (1237 -> 717 ms/frame); f=4 cuts it 16x (577 ms).  Trained-ckpt A/B:
+# AB_QUALITY_r5.json clr2/clr4 (both >= serving quality).
+PRESET_COARSE_LOWRES = {"exact": 1, "serving": 2, "turbo": 4}
 
 
 def preset_kwargs(name: str, **overrides) -> dict:

@@ -103,8 +103,10 @@ class NeuralRayGenRenderer(nn.Module):
     # per (sample, view) instead of the 2x2 bilinear window — halves the
     # fetched DRAM segments of the dominant per-frame cost.  The merged
     # map is already 4x-bilinearly-upsampled, so rounding displaces a
-    # smooth feature lookup by <= 0.5 px; quality A/B in tools/ab_quality
-    # (mode 'nearest') before changing the serving default.
+    # smooth feature lookup by <= 0.5 px.  Measured: -0.31 dB on the
+    # trained-ckpt A/B (AB_QUALITY_r5.json 'nearest') and SLOWER in-frame
+    # (1339 vs 1264 ms — XLA's 2x2 window rides the same DRAM rows), so
+    # it stays opt-in.
     gather_nearest: bool = False
     # separate stride for the FINE pass (0 -> gather_stride).  Fine
     # samples are importance-resampled around surfaces, so consecutive

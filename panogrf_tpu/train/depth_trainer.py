@@ -37,6 +37,7 @@ class DepthTrainConfig:
     checkpoint_count: int = 3
     save_dir: str = "data/depth_model"
     log_interval: int = 100
+    vis_interval: int = 0      # >0: turbo depth/error PNGs every N steps
     seed: int = 2022
 
 
@@ -64,10 +65,15 @@ class DepthTrainer:
 
     def __init__(self, forward_fn: Callable, variables: Any,
                  cfg: DepthTrainConfig,
-                 log_fn: Optional[Callable] = None):
+                 log_fn: Optional[Callable] = None, mesh=None):
+        """:param mesh: optional ``jax.sharding.Mesh`` — train data-parallel
+        over its 'data' axis with cross-replica BatchNorm (build the net
+        with ``bn_axis='data'``); SURVEY §2.8 DP, reference SyncBN role.
+        """
         self.cfg = cfg
         self.forward_fn = forward_fn
         self.log_fn = log_fn or (lambda s, m: None)
+        self.mesh = mesh
         self.params = variables.get("params", variables)
         self.state = {k: v for k, v in variables.items() if k != "params"}
         tx = optax.adam(cfg.learning_rate, b1=cfg.opt_beta1,
@@ -79,9 +85,24 @@ class DepthTrainer:
         self.opt_state = tx.init(self.params)
         self.step = 0
         self._build_step()
+        if mesh is not None:
+            self._replicate()
+
+    def _replicate(self):
+        from panogrf_tpu.parallel.sharded_train import replicate_tree
+        self.params = replicate_tree(self.mesh, self.params)
+        self.state = replicate_tree(self.mesh, self.state)
+        self.opt_state = replicate_tree(self.mesh, self.opt_state)
 
     def _build_step(self):
         cfg = self.cfg
+        if self.mesh is not None:
+            from panogrf_tpu.parallel.sharded_train import \
+                make_sharded_depth_step
+            self._train_step = make_sharded_depth_step(
+                self.forward_fn, self.tx, self.mesh,
+                loss_type=cfg.loss_type, aux_d1_weight=cfg.aux_d1_weight)
+            return
 
         def loss_fn(params, state, batch):
             variables = {"params": params, **state}
@@ -118,6 +139,10 @@ class DepthTrainer:
         for i, batch in enumerate(data_iter):
             if i >= num_steps:
                 break
+            if self.mesh is not None:
+                from panogrf_tpu.parallel.sharded_train import \
+                    place_depth_batch
+                batch = place_depth_batch(self.mesh, batch)
             self.params, self.state, self.opt_state, loss = \
                 self._train_step(self.params, self.state, self.opt_state,
                                  batch)
@@ -126,9 +151,35 @@ class DepthTrainer:
                 last = {"loss": float(loss),
                         "sec": round(time.time() - t0, 1)}
                 self.log_fn(self.step, last)
+            if self.cfg.vis_interval and \
+                    self.step % self.cfg.vis_interval == 0:
+                self.dump_vis(batch)
             if self.step % self.cfg.checkpoint_interval == 0:
                 self.save()
         return last
+
+    def dump_vis(self, batch) -> None:
+        """Write a ``[rgb |] gt | pred | error`` turbo sheet for the first
+        sample of ``batch`` under ``{save_dir}/{name}/vis/`` (reference
+        tensorboard depth/error images, ``train_depth.py:456-580``)."""
+        import numpy as np
+        from panogrf_tpu.utils import visualize as V
+        variables = {"params": self.params, **self.state}
+        out, _ = self.forward_fn(variables, batch, False)
+        pred = (out["pred"][..., :1] if "pred" in out
+                else out["pred_depth"])
+        rgb = None
+        if "panos" in batch:          # MVS batch: reference view = index 1
+            rgb = np.asarray(batch["panos"][0, 1])
+        elif "equi" in batch:         # mono batch (imagenet-normalized)
+            from panogrf_tpu.models.unifuse import IMAGENET_MEAN, \
+                IMAGENET_STD
+            rgb = np.clip(np.asarray(batch["equi"][0])
+                          * np.asarray(IMAGENET_STD)
+                          + np.asarray(IMAGENET_MEAN), 0, 1)
+        V.dump_depth_val(
+            Path(self.cfg.save_dir) / self.cfg.name / "vis", self.step, 0,
+            rgb, np.asarray(batch["gt_depth"][0]), np.asarray(pred[0]))
 
     # rolling checkpoints (reference helpers/torch_checkpoint_manager.py)
     def save(self):
@@ -161,6 +212,8 @@ class DepthTrainer:
         self.params = restored["params"]
         self.state = {k: v for k, v in restored.items() if k != "params"}
         self.step = int(path.name.split("_")[1])
+        if self.mesh is not None:
+            self._replicate()
         return True
 
     def evaluate(self, batches: Iterable, max_batches: int = 8) -> Dict:

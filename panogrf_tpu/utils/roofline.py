@@ -122,19 +122,24 @@ def gather_stage(n_rays: int, dn: int, stride: int, v: int = 2,
 def frame_model(h: int, w: int, dn_coarse: int = 64, dn_fine: int = 64,
                 stride: int = 4, stride_fine: int = 16, v: int = 2,
                 coarse_geometry_only: bool = True,
+                lowres_coarse: int = 1,
                 dtype: str = "bfloat16") -> dict:
     """Whole-frame analytic cost at the serving operating point.
 
+    :param lowres_coarse: low-res coarse importance factor f — the coarse
+        pass runs on (h/f, w/f) rays (``full_render`` coarse_lowres), so
+        its agg flops and gather rows divide by f².
     :return: dict with per-stage flops/bytes and the frame totals; feed
         measured seconds to :func:`achieved` for MFU / ceiling fractions.
     """
     rays = h * w
+    crays = rays // (lowres_coarse * lowres_coarse)
     dtb = 2 if dtype == "bfloat16" else 4
-    agg = (agg_stage(rays, dn_coarse, v, geometry_only=coarse_geometry_only,
+    agg = (agg_stage(crays, dn_coarse, v, geometry_only=coarse_geometry_only,
                      dtype_bytes=dtb)
            + agg_stage(rays, dn_fine, v, geometry_only=False,
                        dtype_bytes=dtb))
-    g_c = gather_stage(rays, dn_coarse, stride, v, dtype_bytes=dtb)
+    g_c = gather_stage(crays, dn_coarse, stride, v, dtype_bytes=dtb)
     g_f = gather_stage(rays, dn_fine, stride_fine, v, dtype_bytes=dtb)
     gather = {
         "rows": g_c["rows"] + g_f["rows"],

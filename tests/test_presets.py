@@ -12,12 +12,20 @@ from pathlib import Path
 import pytest
 
 from panogrf_tpu.renderer.presets import (PRESETS, PRESET_CHUNK,
+                                          PRESET_COARSE_LOWRES,
                                           preset_kwargs)
 
 
 def test_preset_names_pinned():
     assert set(PRESETS) == {"exact", "serving", "turbo"}
     assert set(PRESET_CHUNK) == set(PRESETS)
+    assert set(PRESET_COARSE_LOWRES) == set(PRESETS)
+
+
+def test_coarse_lowres_factors_pinned():
+    """The blessed low-res coarse factors (AB_QUALITY_r5.json clr2/clr4:
+    both quality-neutral on the trained-ckpt A/B; 717/577 ms/frame)."""
+    assert PRESET_COARSE_LOWRES == {"exact": 1, "serving": 2, "turbo": 4}
 
 
 def test_exact_matches_renderer_defaults():
@@ -32,11 +40,16 @@ def test_exact_matches_renderer_defaults():
 
 
 def test_serving_composition_pinned():
-    """The A/B'd serving point (AB_QUALITY_r3.json "serving", -0.03 dB)."""
+    """The A/B'd serving point (AB_QUALITY_r3.json "serving", -0.03 dB;
+    AB_QUALITY_r5.json "clr2" for the lowres-coarse addition)."""
     assert PRESETS["serving"] == dict(
         fast_gather=True, compute_dtype="bfloat16",
         gather_depth_major=True, gather_stride=4, gather_stride_fine=16,
         decode_on_map=True, coarse_geometry_only=True)
+    # turbo = serving model flags; only the render-path lowres factor
+    # differs (the round-4 fine-stride-32/f48 turbo was retired after
+    # measuring 7.2 PSNR on the r5 trained-ckpt A/B)
+    assert PRESETS["turbo"] == PRESETS["serving"]
 
 
 def test_preset_kwargs_overrides():

@@ -199,7 +199,12 @@ def main():
                        "gather_stride": 4, "gather_stride_fine": 32,
                        "decode_on_map": True},
         # the blessed operating points, single-sourced from
-        # renderer/presets.py (what bench.py/render.py --preset run)
+        # renderer/presets.py (what bench.py/render.py --preset run).
+        # NOTE: "serving"/"turbo" here measure the MODEL flags only; the
+        # presets' render-path lowres-coarse factor is the clr2/clr4
+        # modes (serving ships clr2, turbo ships clr4 — the "turbo" mode
+        # below renders with its preset factor f=4 so the recorded row
+        # matches what `--preset turbo` actually serves).
         "serving": dict(PRESETS["serving"]),
         "turbo": dict(PRESETS["turbo"]),
         # nearest-tap merged-map fetch: 1 gather row per (sample, view)
@@ -296,14 +301,17 @@ def main():
                     n_candidates=n_cand, n_uniform=n_uni,
                     contain_uniform=c_uni)
                 out = {"rgb": rgb}
-            elif mode.startswith("clr"):
+            elif mode.startswith("clr") or mode == "turbo":
+                from panogrf_tpu.renderer.presets import \
+                    PRESET_COARSE_LOWRES
+                f = (int(mode[3:]) if mode.startswith("clr")
+                     else PRESET_COARSE_LOWRES["turbo"])
                 ref_data = full_render.prepare_ref_data(model, params,
                                                         ref_info)
                 rgb = full_render.render_image_device(
                     model, params, ref_data, c2w,
                     jnp.asarray([[0.5, 15.0]]), ref_info["depth_range"],
-                    chunk=min(2048, H * W),
-                    coarse_lowres=int(mode[3:]))
+                    chunk=min(2048, H * W), coarse_lowres=f)
                 out = {"rgb": rgb}
             else:
                 out = full_render.render_image(

@@ -79,6 +79,12 @@ def main():
                     action="store_false", default=None,
                     help="disable decode-on-map (dist-decoder heads "
                          "precomputed on the map, -0.03 dB on the A/B)")
+    ap.add_argument("--coarse-lowres", type=int, default=None,
+                    help="low-res coarse importance factor f: coarse "
+                         "pass on an (H/f, W/f) ray grid, hit-prob "
+                         "upsampled to drive the full-res fine pass "
+                         "(default: the preset's — serving f=2, turbo "
+                         "f=4; A/B AB_QUALITY_r5.json clr2/clr4)")
     ap.add_argument("--mono-ckpt", default=None,
                     help="UniFuse checkpoint (orbax dir or torch .pth) — "
                          "enables the composed mono->MVS->renderer "
@@ -118,7 +124,8 @@ def main():
     from panogrf_tpu.renderer import full_render
     from panogrf_tpu.train import metrics as M
 
-    from panogrf_tpu.renderer.presets import preset_kwargs
+    from panogrf_tpu.renderer.presets import (preset_kwargs,
+                                              PRESET_COARSE_LOWRES)
 
     H, W = args.height, args.width
     DH, DW = args.depth_height, args.depth_width
@@ -128,6 +135,11 @@ def main():
                        decode_on_map=args.decode_on_map,
                        compute_dtype="float32" if args.cpu else None)
     model = NeuralRayGenRenderer(height=H, width=W, depth_hw=(DH, DW), **kw)
+    clr = (args.coarse_lowres if args.coarse_lowres is not None
+           else PRESET_COARSE_LOWRES[args.preset])
+    if H % clr or W % clr:
+        print(f"coarse-lowres {clr} does not divide {H}x{W}; disabling")
+        clr = 1
 
     out_dir = Path(args.out)
     out_dir.mkdir(parents=True, exist_ok=True)
@@ -221,13 +233,27 @@ def main():
             path = P.prepare_render_info(c2w_all, "inter",
                                          inter_num=args.inter_num)
             ref_data = full_render.prepare_ref_data(model, params, ref_info)
+            frames = []
             for fi, c2w in enumerate(path):
                 out = full_render.render_image(
                     model, params, ref_info, jnp.asarray(c2w),
                     data["que_imgs_info"]["depth_range"],
                     chunk=min(8192, H * W), ref_data=ref_data)
                 save_image(out_dir / f"{qi}-frame{fi:03d}.png", out["rgb"])
-            print(f"[{qi}] wrote {len(path)} path frames")
+                frames.append(np.asarray(
+                    np.clip(np.asarray(out["rgb"]) * 255.0, 0, 255),
+                    np.uint8))
+            # assemble the pose-path frames into a video (reference
+            # render.py:304,401 imageio.mimsave of the 'inter' loop)
+            try:
+                import imageio.v2 as imageio
+                imageio.mimsave(out_dir / f"{qi}-video.gif", frames,
+                                duration=0.125, loop=0)
+                print(f"[{qi}] wrote {len(path)} path frames + "
+                      f"{qi}-video.gif")
+            except Exception as e:  # headless codecs vary; frames remain
+                print(f"[{qi}] wrote {len(path)} path frames "
+                      f"(gif assembly failed: {e})")
             continue
 
         t0 = time.perf_counter()
@@ -238,7 +264,15 @@ def main():
             rgb = render_image_sharded(
                 model, params, ref_data, data["que_imgs_info"]["c2w"],
                 data["que_imgs_info"]["depth_range"],
-                ref_info["depth_range"], mesh)
+                ref_info["depth_range"], mesh, coarse_lowres=clr)
+            out = {"rgb": rgb}
+        elif clr > 1:
+            ref_data = full_render.prepare_ref_data(model, params, ref_info)
+            rgb = full_render.render_image_device(
+                model, params, ref_data, data["que_imgs_info"]["c2w"],
+                data["que_imgs_info"]["depth_range"],
+                ref_info["depth_range"], chunk=min(8192, H * W),
+                coarse_lowres=clr)
             out = {"rgb": rgb}
         else:
             out = full_render.render_image(

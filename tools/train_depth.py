@@ -49,12 +49,24 @@ def main():
                          "(reference fnet.py v3_erp, no mono prior)")
     ap.add_argument("--new-reg3dnet", action="store_true",
                     help="MVSNet CostRegNet regularizer (use_new_reg3dnet)")
+    ap.add_argument("--mesh", type=int, default=0, metavar="N",
+                    help="data-parallel training over an N-device mesh "
+                         "with cross-replica BatchNorm (the reference's "
+                         "SyncBN role, sync_batchnorm/); --batch must be "
+                         "a multiple of N (with --cpu this uses N virtual "
+                         "CPU devices)")
+    ap.add_argument("--vis-interval", type=int, default=100,
+                    help="write rgb|gt|pred|error turbo sheets under the "
+                         "run dir every N steps (0 = off; reference "
+                         "train_depth.py:456-580 tensorboard images)")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
     if args.cpu:
         import jax
         jax.config.update("jax_platforms", "cpu")
+        if args.mesh:
+            jax.config.update("jax_num_cpu_devices", args.mesh)
     import jax
     import jax.numpy as jnp
 
@@ -178,28 +190,48 @@ def main():
             min_depth=args.min_depth, max_depth=args.max_depth,
             num_hypotheses=args.hypotheses,
             mvs_uncertainty=args.mvs_uncertainty,
-            use_new_reg3dnet=args.new_reg3dnet)
+            use_new_reg3dnet=args.new_reg3dnet,
+            bn_axis="data" if args.mesh else None)
         variables = jax.jit(model.init)(
             jax.random.PRNGKey(0), first["panos"], first["rots"],
             first["trans"], first["mono_depth"], first["mono_feat"])
 
         def forward_fn(variables, batch, train):
-            out = model.apply(variables, batch["panos"], batch["rots"],
-                              batch["trans"], batch["mono_depth"],
-                              batch["mono_feat"])
+            # train=True runs BatchNorm on batch statistics and mutates
+            # them (torch BN semantics; with --mesh the bn_axis pmean makes
+            # the stats cross-replica — the reference's SyncBN role)
+            a = (batch["panos"], batch["rots"], batch["trans"],
+                 batch["mono_depth"], batch["mono_feat"])
+            if train:
+                out, mut = model.apply(variables, *a, train=True,
+                                       mutable=["batch_stats"])
+                new_state = dict(mut)
+            else:
+                out, new_state = model.apply(variables, *a), {}
             out = dict(out)
             out["pred_depth"] = out.pop("depth")
             if args.mvs_uncertainty:
                 out["pred"] = out["pred_final"]
-            return out, {}
+            return out, new_state
     n = sum(x.size for x in jax.tree.leaves(variables))
     print(f"{args.model} params: {n/1e6:.2f}M")
 
+    mesh = None
+    if args.mesh:
+        from panogrf_tpu.parallel.mesh import make_mesh
+        if args.batch % args.mesh:
+            raise SystemExit(f"--batch {args.batch} must be a multiple of "
+                             f"--mesh {args.mesh}")
+        mesh = make_mesh(args.mesh, data=args.mesh)
+        print(f"training on mesh {dict(mesh.shape)} (SyncBN on 'data')")
+
     loss = "gaussian_nll" if args.mvs_uncertainty else "l1_sphere"
     cfg = DepthTrainConfig(name=args.name, learning_rate=args.lr,
-                           loss_type=loss, log_interval=10)
+                           loss_type=loss, log_interval=10,
+                           vis_interval=args.vis_interval)
     trainer = DepthTrainer(forward_fn, variables, cfg,
-                           log_fn=lambda s, m: print(f"step {s}: {m}"))
+                           log_fn=lambda s, m: print(f"step {s}: {m}"),
+                           mesh=mesh)
     trainer.restore()
     trainer.fit(batches(), args.steps)
     trainer.save()

@@ -37,12 +37,24 @@ def main():
     ap.add_argument("--patch-size", type=int, default=64)
     ap.add_argument("--num-layers", type=int, default=18,
                     help="encoder depth: 2=mobilenet_v2, 18/34=resnet")
+    ap.add_argument("--mesh", type=int, default=0, metavar="N",
+                    help="data-parallel training over an N-device mesh "
+                         "with cross-replica BatchNorm (the reference's "
+                         "SyncBN role, sync_batchnorm/); --batch must be "
+                         "a multiple of N (with --cpu this uses N virtual "
+                         "CPU devices)")
+    ap.add_argument("--vis-interval", type=int, default=100,
+                    help="write rgb|gt|pred|error turbo sheets under the "
+                         "run dir every N steps (0 = off; reference "
+                         "train_mono.py tensorboard images)")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
     if args.cpu:
         import jax
         jax.config.update("jax_platforms", "cpu")
+        if args.mesh:
+            jax.config.update("jax_num_cpu_devices", args.mesh)
     import jax
     import jax.numpy as jnp
 
@@ -61,7 +73,8 @@ def main():
                          "mono_uncertainty": args.uncertainty,
                          "mono_num_layers": args.num_layers,
                          "nrows": args.nrows,
-                         "patchsize": args.patch_size})
+                         "patchsize": args.patch_size,
+                         "bn_axis": "data" if args.mesh else None})
     # UniFuse and the Cube ablation consume the cubemap input
     is_unifuse = args.mono_net in ("UniFuse", "Cube")
     rng = np.random.default_rng(2022)
@@ -112,11 +125,22 @@ def main():
         out = model.apply(variables, *_args(batch))
         return out, {}
 
+    mesh = None
+    if args.mesh:
+        from panogrf_tpu.parallel.mesh import make_mesh
+        if args.batch % args.mesh:
+            raise SystemExit(f"--batch {args.batch} must be a multiple of "
+                             f"--mesh {args.mesh}")
+        mesh = make_mesh(args.mesh, data=args.mesh)
+        print(f"training on mesh {dict(mesh.shape)} (SyncBN on 'data')")
+
     cfg = DepthTrainConfig(name=args.name, learning_rate=args.lr,
                            loss_type=loss, aux_d1_weight=0.0,
-                           log_interval=10)
+                           log_interval=10,
+                           vis_interval=args.vis_interval)
     trainer = DepthTrainer(forward_fn, variables, cfg,
-                           log_fn=lambda s, m: print(f"step {s}: {m}"))
+                           log_fn=lambda s, m: print(f"step {s}: {m}"),
+                           mesh=mesh)
     trainer.restore()
     trainer.fit(batches(), args.steps)
     trainer.save()

@@ -227,8 +227,13 @@ def main():
                     seed=10_000 + vi)
         val_scenes.append(s)
 
+    # gt|pred side-by-sides + turbo depth next to the JSONL metrics
+    # (reference VisualizeImage, network/metrics.py:287-361)
+    vis_dir = Path(cfg.train.save_dir) / cfg.train.name / "vis"
+
     def val_fn(params, step):
         import jax.numpy as jnp
+        from panogrf_tpu.utils import visualize as V
         outs = {}
         vals = []
         for vi, s in enumerate(val_scenes):
@@ -242,8 +247,12 @@ def main():
                 model, params, ref_info, c2w,
                 jnp.asarray([[R.min_depth, R.max_depth]]),
                 chunk=min(8192, H * W))
-            m = M.render_metrics(out["rgb"],
-                                 s["rgb_panos"][que_ids[0]])
+            gt = s["rgb_panos"][que_ids[0]]
+            m = M.render_metrics(out["rgb"], gt)
+            V.dump_render_val(vis_dir, step, vi, np.asarray(gt),
+                              np.asarray(out["rgb"]),
+                              pred_depth=(np.asarray(out["depth"])
+                                          if "depth" in out else None))
             vals.append({k: float(v) for k, v in m.items()})
         for k in vals[0]:
             outs[k] = float(np.mean([v[k] for v in vals]))
