@@ -80,11 +80,14 @@ def main():
                     help="disable decode-on-map (per-sample dist-decoder "
                          "MLPs instead of stats gathered with the row)")
     ap.add_argument("--fine-samples", type=int, default=0,
-                    help="fine-pass sample count (0 = preset); agg/gather "
-                         "cost scales linearly — quality A/B in "
-                         "tools/ab_quality (serving_f48 / serving_f32)")
+                    help="fine-pass sample count (0 = preset).  WARNING: "
+                         "eval counts different from the trained 64 "
+                         "collapse quality (AB_QUALITY_r5 serving_f48 "
+                         "7.2 PSNR) — train at the count you serve")
     ap.add_argument("--coarse-samples", type=int, default=0,
-                    help="coarse-pass sample count (0 = 64)")
+                    help="coarse-pass sample count (0 = 64); same "
+                         "train-time-knob warning as --fine-samples "
+                         "(r3 coarse16 -5.8 dB)")
     ap.add_argument("--no-coarse-geometry-only", dest="coarse_geo_only",
                     action="store_false", default=None,
                     help="keep the coarse pass's (discarded) RGB head")
@@ -167,10 +170,11 @@ def main():
     ref_data = full_render.prepare_ref_data(model, params, ref_info)
     mode = "diner" if args.diner else "hierarchical"
     # low-res coarse factor: explicit flag wins, else the preset's; the
-    # diner / light-coarse / ablation paths have no standard coarse pass
+    # diner / light-coarse paths have no standard coarse pass (ablation
+    # stand-ins DO compose — attribution stays at the shipped point)
     clr = (args.coarse_lowres if args.coarse_lowres is not None
            else PRESET_COARSE_LOWRES[args.preset])
-    if args.diner or args.light_coarse or args.ablate:
+    if args.diner or args.light_coarse:
         clr = 1
     if args.diner:
         ref_data["mvs_depth"] = ref_info["mvs_depth"]

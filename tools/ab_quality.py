@@ -156,10 +156,9 @@ def main():
         "bf16": {"fast_gather": True, "compute_dtype": "bfloat16"},
         "light_coarse": {"fast_gather": True, "compute_dtype": "bfloat16",
                          "light_coarse": True},
-        # real coarse pass (occlusion-aware aggregation kept) at a reduced
-        # sample count — importance only needs to be roughly right, and
-        # the sinusoid pos-encoding is non-learned so the dn=64-trained
-        # params apply unchanged
+        # real coarse pass at a reduced sample count.  MEASURED: -5.8 dB
+        # (r3) — eval sample counts that differ from the trained ones
+        # collapse on a converged ckpt (see serving_f* note below).
         "coarse16": {"fast_gather": True, "compute_dtype": "bfloat16",
                      "depth_sample_num": 16},
         "coarse32": {"fast_gather": True, "compute_dtype": "bfloat16",
@@ -217,11 +216,14 @@ def main():
         # here by full-nearest vs serving delta attribution)
         "nearest_f48": {**PRESETS["serving"], "gather_nearest": True,
                         "fine_depth_sample_num": 48},
-        # serving at a reduced FINE sample count: fine samples are
-        # importance-placed near surfaces, and the agg/gather cost scales
-        # linearly with sample count, so this is the direct work-side
-        # lever (the pos-encoding is non-learned: dn=64-trained params
-        # apply unchanged at any fine count)
+        # serving at a reduced FINE sample count.  MEASURED (r5, trained
+        # 300-step ckpt): collapses — serving_f48 7.2 / serving_f32 6.4
+        # PSNR vs 30.8 at the trained 64, with strides/dmap/bf16 ruled
+        # out by isolation and exact numerics equally broken; r3's
+        # coarse16 (-5.8 dB) was the same effect on the coarse count.
+        # Sample counts are TRAIN-TIME knobs: train at the count you
+        # serve (same lesson as the DINER train/serve mismatch,
+        # AB_DINER_r4.json).
         "serving_f48": {"fast_gather": True, "compute_dtype": "bfloat16",
                         "gather_stride": 4, "gather_stride_fine": 16,
                         "decode_on_map": True, "gather_depth_major": True,
