@@ -16,13 +16,13 @@ blessed compositions — the only ones the CLIs expose and the tests cover:
   pass on an (H/2, W/2) ray grid, hit-prob upsampled —
   ``full_render.render_image_device``).  Whole-composition A/B: +0.05 dB
   vs serving-without-lowres, +0.06 dB vs bf16-exact (AB_QUALITY_r5.json
-  "clr2" vs "serving"/"bf16").  717 ms/frame at 512x1024 on one v5e
-  (BENCH_r05 protocol).
+  "clr2" vs "serving"/"bf16").  690 ms/frame at 512x1024 on one v5e
+  (BENCH_r05 protocol, chunk 256).
 * ``turbo``   — the fastest documented point: serving with the coarse
   pass at f=4.  A/B +0.09 dB vs serving-without-lowres
   (AB_QUALITY_r5.json "clr4" — the coarse grid only places fine
   samples, and at f=4 its smoothing is still quality-neutral on the
-  A/B scenes).  577 ms/frame.  (The round-4 turbo — fine stride 32 +
+  A/B scenes).  552 ms/frame.  (The round-4 turbo — fine stride 32 +
   48 fine samples — measured 7.2 PSNR on the r5 trained-ckpt A/B:
   composition-broken, retired; see AB_QUALITY_r5.json "turbo_r4".)
 
@@ -67,14 +67,16 @@ PRESETS: dict = {
     ),
 }
 
-# the chunk size each preset was swept at (rays per jitted chunk);
-# see bench.py chunk-sweep notes
-PRESET_CHUNK = {"exact": 128, "serving": 512, "turbo": 512}
+# the chunk size each preset was swept at (rays per jitted chunk); the
+# optimum moves DOWN each time the pipeline slims (r2: 128, r4: 512,
+# r5 with lowres coarse: 256 — sweep serving 128/256/512/1024/2048 =
+# 803/690/714/721/787 ms, turbo 128/256/512 = 671/552/577 ms)
+PRESET_CHUNK = {"exact": 128, "serving": 256, "turbo": 256}
 
 # RENDER-path knobs (args of full_render.render_image_device, not
 # renderer constructor kwargs): the low-res coarse importance factor.
 # f=2 cuts the coarse pass's ~80% share of the 83.9M gather rows 4x
-# (1237 -> 717 ms/frame); f=4 cuts it 16x (577 ms).  Trained-ckpt A/B:
+# (1237 -> 690 ms/frame at the re-swept chunk); f=4 cuts it 16x (552 ms).  Trained-ckpt A/B:
 # AB_QUALITY_r5.json clr2/clr4 (both >= serving quality).
 PRESET_COARSE_LOWRES = {"exact": 1, "serving": 2, "turbo": 4}
 

@@ -20,9 +20,10 @@ from pathlib import Path
 
 import numpy as np
 
-# Google's Turbo colormap, 5th-order polynomial fit (the widely published
-# approximation of the Apache-2.0 lookup table) — same palette the
-# reference gets from matplotlib's 'turbo' in its depth dumps.
+# Google's Turbo colormap — the palette the reference gets from
+# matplotlib in its depth dumps.  Use matplotlib's exact LUT when
+# available; fall back to a 5th-order polynomial fit (mid-range accurate,
+# endpoints slightly desaturated) in minimal environments.
 _TURBO_R = (0.13572138, 4.61539260, -42.66032258, 132.13108234,
             -152.94239396, 59.28637943)
 _TURBO_G = (0.09140261, 2.19418839, 4.84296658, -14.18503333,
@@ -30,10 +31,20 @@ _TURBO_G = (0.09140261, 2.19418839, 4.84296658, -14.18503333,
 _TURBO_B = (0.10667330, 12.64194608, -60.58204836, 110.36276771,
             -89.90310912, 27.34824973)
 
+try:
+    from matplotlib import colormaps as _mpl_cmaps
+    _TURBO_LUT = np.asarray(_mpl_cmaps["turbo"](np.linspace(0, 1, 256)))[
+        :, :3].astype(np.float32)
+except Exception:                                    # pragma: no cover
+    _TURBO_LUT = None
+
 
 def turbo_colormap(x: np.ndarray) -> np.ndarray:
     """Map values in [0, 1] to Turbo RGB in [0, 1]; shape (...,) -> (..., 3)."""
     x = np.clip(np.asarray(x, np.float64), 0.0, 1.0)
+    if _TURBO_LUT is not None:
+        idx = np.clip((x * 255.0).round().astype(np.int64), 0, 255)
+        return _TURBO_LUT[idx]
     powers = np.stack([x ** i for i in range(6)], axis=-1)
     rgb = np.stack([powers @ np.asarray(c) for c in
                     (_TURBO_R, _TURBO_G, _TURBO_B)], axis=-1)
