@@ -41,6 +41,13 @@ def main():
     ap.add_argument("--num", type=int, default=4)
     ap.add_argument("--m3d-dist", type=float, default=0.5)
     ap.add_argument("--samples", type=int, default=64)
+    ap.add_argument("--fine-samples", type=int, default=0,
+                    help="fine-pass sample count for BOTH training and "
+                         "eval (0 = --samples).  Sample counts are "
+                         "train-time knobs (AB_QUALITY_r5 serving_f*): "
+                         "this trains a ckpt native to an asymmetric "
+                         "coarse/fine count instead of evaluating a "
+                         "64-trained ckpt off its calibration")
     ap.add_argument("--proxy-samples", type=int, default=0)
     ap.add_argument("--modes", default="exact,fast_gather,bf16,"
                                        "light_coarse,diner")
@@ -94,7 +101,7 @@ def main():
     def make_model(**kw):
         base_kw = dict(
             height=H, width=W, depth_hw=(DH, DW), depth_sample_num=dn,
-            fine_depth_sample_num=dn,
+            fine_depth_sample_num=args.fine_samples or dn,
             coarse_proxy_samples=args.proxy_samples, **train_kw)
         base_kw.update(kw)
         return NeuralRayGenRenderer(**base_kw)

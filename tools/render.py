@@ -103,6 +103,17 @@ def main():
                          "rays, the only collective is the image gather "
                          "(SURVEY §2.8; with --cpu this uses N virtual "
                          "CPU devices)")
+    ap.add_argument("--samples", type=int, default=0,
+                    help="coarse sample count (0 = preset's 64).  Sample "
+                         "counts are TRAIN-time knobs: only pass this to "
+                         "serve a ckpt TRAINED at the same count "
+                         "(AB_QUALITY_r5.json serving_f*/native* — a "
+                         "64-trained ckpt collapses at other counts)")
+    ap.add_argument("--fine-samples", type=int, default=0,
+                    help="fine sample count (0 = preset's 64); same "
+                         "matched-ckpt requirement as --samples.  A "
+                         "64+32-trained ckpt serves at 472 ms/frame vs "
+                         "690 at 64+64 (-0.8 dB, AB_QUALITY_r5 native*)")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
     if args.exact:
@@ -133,6 +144,8 @@ def main():
                        gather_stride=args.gather_stride,
                        gather_stride_fine=args.gather_stride_fine,
                        decode_on_map=args.decode_on_map,
+                       depth_sample_num=args.samples or None,
+                       fine_depth_sample_num=args.fine_samples or None,
                        compute_dtype="float32" if args.cpu else None)
     model = NeuralRayGenRenderer(height=H, width=W, depth_hw=(DH, DW), **kw)
     clr = (args.coarse_lowres if args.coarse_lowres is not None
