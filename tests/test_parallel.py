@@ -253,3 +253,19 @@ def test_render_sharded_lowres_coarse(eight_devices):
         coarse_lowres=2))()
     np.testing.assert_allclose(np.asarray(rgb_sharded),
                                np.asarray(rgb_single), atol=2e-3)
+
+
+def test_render_cli_native_sample_counts(eight_devices, tmp_path,
+                                         monkeypatch):
+    """`tools/render.py --samples/--fine-samples` serves a native-count
+    model (the train-at-serve-count recipe, AB_QUALITY_r5 native*): the
+    asymmetric 16+8 model renders and writes frames without relying on
+    the preset's 64+64."""
+    _run_tool(monkeypatch, "render.py",
+              ["--num", "1", "--height", "32", "--width", "64",
+               "--depth-height", "16", "--depth-width", "32",
+               "--samples", "16", "--fine-samples", "8",
+               "--out", str(tmp_path / "out"), "--cpu"])
+    out = tmp_path / "out"
+    assert (out / "metric.txt").exists()
+    assert list(out.glob("0-nr_fine*")), list(out.iterdir())
