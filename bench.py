@@ -37,6 +37,12 @@ def main():
     ap.add_argument("--preset", default="serving",
                     choices=["exact", "serving", "turbo"])
     ap.add_argument("--chunk", type=int, default=None)
+    ap.add_argument("--coarse-chunk", type=int, default=None,
+                    help="ray-chunk size for the lowres coarse pass only "
+                         "(default: the preset's; 0 = same as --chunk). "
+                         "Bit-exact blocking knob — the lowres grid has "
+                         "1/f^2 the rays, so a larger coarse chunk "
+                         "re-batches its latency-bound agg matmuls")
     ap.add_argument("--no-fast-gather", dest="fast_gather",
                     action="store_false", default=None)
     ap.add_argument("--diner", action="store_true",
@@ -166,6 +172,9 @@ def main():
     # point (stride 4/16 + decode-on-map + base_fc row-block split) the
     # re-sweep gave 128->1402, 256->1340, 512->1311 (opt), 1024->1441 ms.
     chunk = args.chunk or PRESET_CHUNK[args.preset]
+    from panogrf_tpu.renderer.presets import PRESET_COARSE_CHUNK
+    cchunk = (args.coarse_chunk if args.coarse_chunk is not None
+              else PRESET_COARSE_CHUNK[args.preset])
 
     ref_data = full_render.prepare_ref_data(model, params, ref_info)
     mode = "diner" if args.diner else "hierarchical"
@@ -185,7 +194,8 @@ def main():
     def frame_sum(ref_data, c2w):
         rgb = full_render.render_image_device(
             model, params, ref_data, c2w, qdr, ref_info["depth_range"],
-            chunk=chunk, mode=mode, coarse_lowres=clr)
+            chunk=chunk, mode=mode, coarse_lowres=clr,
+            coarse_chunk=cchunk)
         return rgb.sum()
 
     # warmup / compile

@@ -52,7 +52,8 @@ def render_image_device(model: NeuralRayGenRenderer, params: Any,
                         chunk: int = 8192, mode: str = "hierarchical",
                         n_candidates: int = 128, n_uniform: int = 0,
                         contain_uniform: int = 0,
-                        coarse_lowres: int = 1) -> Array:
+                        coarse_lowres: int = 1,
+                        coarse_chunk: int = 0) -> Array:
     """Whole-pano render as ONE jitted computation.
 
     The chunk loop runs on-device via ``lax.map`` (compiles the chunk body
@@ -75,6 +76,16 @@ def render_image_device(model: NeuralRayGenRenderer, params: Any,
         f=2 (serving) / f=4 (turbo), ``presets.PRESET_COARSE_LOWRES``.
         f == 1 through this path is bit-exact to the standard
         hierarchical render (regression-tested).
+    :param coarse_chunk: ray-chunk size for the LOW-RES coarse pass only
+        (0 = same as ``chunk``).  Chunking is pure blocking (bit-exact);
+        the lowres grid has 1/f² the rays, so a larger coarse chunk
+        re-batches its latency-bound agg matmuls without moving the
+        fine pass off its swept optimum (sweep via
+        ``bench.py --coarse-chunk``).  Measured on the v5e serving
+        point: a NO-OP to a loss (512 → 692 ms = the chunk-256
+        baseline, 4096 → 769 ms; 1024/2048 hit >9-min XLA compiles) —
+        the coarse share at f=2 is too small for re-batching to pay, so
+        the presets keep 0.
     :return: rgb (H, W, 3) on device.
     """
     h, w = model.height, model.width
@@ -92,7 +103,7 @@ def render_image_device(model: NeuralRayGenRenderer, params: Any,
         assert h % f == 0 and w % f == 0, (h, w, f)
         lh, lw = h // f, w // f
         nlr = lh * lw
-        lchunk = min(chunk, nlr)
+        lchunk = min(coarse_chunk or chunk, nlr)
         assert nlr % lchunk == 0, (nlr, lchunk)
         # low-res rays sample the CENTER pixel of each f x f cell
         lxs, lys = np.meshgrid(np.arange(lw) * f + f // 2,

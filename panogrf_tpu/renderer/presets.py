@@ -73,6 +73,15 @@ PRESETS: dict = {
 # 803/690/714/721/787 ms, turbo 128/256/512 = 671/552/577 ms)
 PRESET_CHUNK = {"exact": 128, "serving": 256, "turbo": 256}
 
+# ray-chunk size for the LOWRES COARSE pass only (0 = same as
+# PRESET_CHUNK).  Bit-exact blocking: the lowres grid has 1/f^2 the
+# rays, so a larger coarse chunk re-batches the coarse agg's
+# latency-bound matmuls without moving the fine pass off its optimum.
+# Swept on the v5e (serving, chunk 256): 512 -> 692 ms (= baseline),
+# 4096 -> 769 ms, 1024/2048 pathological XLA compiles -- a measured
+# no-op (the f=2 coarse share is too small to re-batch), kept at 0.
+PRESET_COARSE_CHUNK = {"exact": 0, "serving": 0, "turbo": 0}
+
 # RENDER-path knobs (args of full_render.render_image_device, not
 # renderer constructor kwargs): the low-res coarse importance factor.
 # f=2 cuts the coarse pass's ~80% share of the 83.9M gather rows 4x

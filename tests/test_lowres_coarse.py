@@ -79,3 +79,29 @@ def test_lowres_coarse_f2_close():
         chunk=128, coarse_lowres=2))
     assert np.isfinite(b).all()
     assert np.abs(a - b).mean() < 0.05, np.abs(a - b).mean()
+
+
+def test_coarse_chunk_is_pure_blocking():
+    """coarse_chunk only re-blocks the lowres coarse lax.map: any value
+    gives the same image as the default (coarse pass re-batched for its
+    latency-bound agg matmuls; fine pass untouched)."""
+    H, W, DH, DW = 32, 64, 16, 32
+    ref_info, c2w = _scene(H, W, DH, DW)
+    model = NeuralRayGenRenderer(height=H, width=W, depth_hw=(DH, DW),
+                                 depth_sample_num=8,
+                                 fine_depth_sample_num=8, fast_gather=True)
+    data = {"ref_imgs_info": ref_info,
+            "que_imgs_info": {
+                "coords": jnp.zeros((1, 8, 2)), "c2w": c2w,
+                "depth_range": jnp.asarray([[0.5, 15.0]])}}
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), data)
+    ref_data = full_render.prepare_ref_data(model, params, ref_info)
+    qdr = jnp.asarray([[0.5, 15.0]])
+    kw = dict(chunk=64, coarse_lowres=2)
+    a = full_render.render_image_device(model, params, ref_data, c2w, qdr,
+                                        ref_info["depth_range"], **kw)
+    b = full_render.render_image_device(model, params, ref_data, c2w, qdr,
+                                        ref_info["depth_range"],
+                                        coarse_chunk=256, **kw)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=1e-5, atol=1e-6)

@@ -114,6 +114,10 @@ def main():
                          "matched-ckpt requirement as --samples.  A "
                          "64+32-trained ckpt serves at 472 ms/frame vs "
                          "690 at 64+64 (-0.8 dB, AB_QUALITY_r5 native*)")
+    ap.add_argument("--chunk", type=int, default=0,
+                    help="rays per jitted chunk for the on-device render "
+                         "path (0 = the preset's swept optimum, "
+                         "presets.PRESET_CHUNK; bit-exact blocking knob)")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
     if args.exact:
@@ -136,6 +140,8 @@ def main():
     from panogrf_tpu.train import metrics as M
 
     from panogrf_tpu.renderer.presets import (preset_kwargs,
+                                              PRESET_CHUNK,
+                                              PRESET_COARSE_CHUNK,
                                               PRESET_COARSE_LOWRES)
 
     H, W = args.height, args.width
@@ -281,11 +287,19 @@ def main():
             out = {"rgb": rgb}
         elif clr > 1:
             ref_data = full_render.prepare_ref_data(model, params, ref_info)
+            # the device path (lax.map inside one jit) pays no per-chunk
+            # dispatch, so it runs at the preset's SWEPT chunk — unlike
+            # the host-loop render_image below, where big chunks amortize
+            # the per-dispatch tunnel RTT
+            chunk = args.chunk or PRESET_CHUNK[args.preset]
+            while (H * W) % chunk:
+                chunk //= 2
             rgb = full_render.render_image_device(
                 model, params, ref_data, data["que_imgs_info"]["c2w"],
                 data["que_imgs_info"]["depth_range"],
-                ref_info["depth_range"], chunk=min(8192, H * W),
-                coarse_lowres=clr)
+                ref_info["depth_range"], chunk=chunk,
+                coarse_lowres=clr,
+                coarse_chunk=PRESET_COARSE_CHUNK[args.preset])
             out = {"rgb": rgb}
         else:
             out = full_render.render_image(
