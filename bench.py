@@ -238,6 +238,30 @@ def main():
         "rays_per_sec": int(rays_per_sec),
     }
 
+    if (args.preset == "serving" and not args.ablate and not args.diner
+            and not args.light_coarse and args.coarse_lowres is None
+            and not args.fine_samples and not args.coarse_samples
+            and args.chunk is None and args.coarse_chunk is None):
+        # the default run also records the turbo point (same model +
+        # params — turbo is serving with the coarse pass at f=4, a
+        # render-path knob; A/B AB_QUALITY_r5.json clr4/steps2000_clr4)
+        @jax.jit
+        def frame_sum_turbo(ref_data, c2w):
+            rgb = full_render.render_image_device(
+                model, params, ref_data, c2w, qdr,
+                ref_info["depth_range"], chunk=PRESET_CHUNK["turbo"],
+                coarse_lowres=PRESET_COARSE_LOWRES["turbo"])
+            return rgb.sum()
+        _ = float(frame_sum_turbo(ref_data, c2w))
+        tt = []
+        for i in range(3):
+            c = c2w.at[2, 3].add(0.001 * (i + 7))
+            t0 = time.perf_counter()
+            _ = float(frame_sum_turbo(ref_data, c))
+            tt.append(time.perf_counter() - t0)
+        result["turbo_ms_per_frame"] = round(
+            max(min(tt) - rtt, 1e-9) * 1000.0, 2)
+
     if args.roofline and not args.diner and not args.ablate:
         # MFU/roofline accounting (utils/roofline.py): measure the two
         # dominant stages in isolation at the serving chunk and price them

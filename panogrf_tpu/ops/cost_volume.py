@@ -21,9 +21,19 @@ import jax
 import jax.numpy as jnp
 
 from panogrf_tpu.core.sphere import SphereConvention
-from panogrf_tpu.ops.resample import bilinear_sample
+from panogrf_tpu.ops.resample import (bilinear_sample,
+                                      make_mm_backward_sampler)
 
 Array = jax.Array
+
+# The sweep's backward wrt src features is a 33.6M-point scatter-add at
+# the full recipe — XLA serializes TPU scatters, measured 130x the
+# forward (tools/profile_mvs.py; it was ~3.3 s of the 4.34 s MVS train
+# step).  The matmul-backward sampler turns that transpose into dense
+# MXU contractions with IDENTICAL gradients (tests/test_resample.py);
+# uv is pure geometry here (frozen mono depth + poses), so its zero
+# cotangent is exact, not an approximation.
+_sweep_sample = make_mm_backward_sampler(wrap_x=True, pad_mode="border")
 
 
 def sweep_coordinates(depth_volume: Array, dirs: Array, rot_ref: Array,
@@ -52,19 +62,26 @@ def spherical_sweep_cost(ref_feats: Array, src_feats: Array,
                          depth_volume: Array, rot_ref: Array, tran_ref: Array,
                          rot_src: Array, tran_src: Array,
                          convention: SphereConvention,
-                         cost_type: str = "abs_diff") -> Array:
+                         cost_type: str = "abs_diff",
+                         mm_backward: bool = True) -> Array:
     """Cost volume for one (ref, src) pair.
 
     :param ref_feats: (H, W, C) reference feature map.
     :param src_feats: (H, W, C) source feature map.
     :param depth_volume: (D, H, W) hypothesis depths.
+    :param mm_backward: route the warp's feature gradient through the
+        dense-matmul transpose instead of XLA's serialized scatter (same
+        gradients; see ``_sweep_sample``).  Disable only to reproduce the
+        scatter path for measurement.
     :return: (D, H, W, C) cost volume.
     """
     h, w, _ = ref_feats.shape
     uv, _ = sweep_coordinates(depth_volume, dirs_for(convention, h, w),
                               rot_ref, tran_ref, rot_src, tran_src,
                               convention, h, w)
-    warped = bilinear_sample(src_feats, uv, wrap_x=True)  # (D, H, W, C)
+    sample = _sweep_sample if mm_backward else (
+        lambda f, q: bilinear_sample(f, q, wrap_x=True))
+    warped = sample(src_feats, uv)                        # (D, H, W, C)
     if cost_type == "abs_diff":
         return jnp.abs(warped - ref_feats[None])
     if cost_type == "dot":

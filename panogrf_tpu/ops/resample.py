@@ -112,6 +112,128 @@ def bilinear_sample(img: Array, xy: Array, *, wrap_x: bool = True,
     return out
 
 
+def _bilinear_taps(x: Array, y: Array, h: int, w: int, wrap_x: bool):
+    """Shared tap/weight math of ``bilinear_sample`` (border-y semantics):
+    returns int32 (x0, x1, y0, y1) effective indices and (tx, ty) weights
+    such that out = Σ taps — exactly the forward's padded-window reads."""
+    if wrap_x:
+        x = jnp.mod(x, 1.0 * w)
+    else:
+        x = jnp.clip(x, 0.0, w - 1.0)
+    yc = jnp.clip(y, 0.0, h - 1.0)
+    x0f = jnp.floor(x)
+    y0f = jnp.floor(yc)
+    tx = x - x0f
+    ty = yc - y0f
+    x0 = x0f.astype(jnp.int32)
+    y0 = jnp.clip(y0f.astype(jnp.int32), 0, h - 1)
+    if wrap_x:
+        x1 = jnp.mod(x0 + 1, w)          # padded col W == col 0
+    else:
+        x0 = jnp.clip(x0, 0, w - 1)
+        x1 = jnp.minimum(x0 + 1, w - 1)  # padded col W == col W-1
+    y1 = jnp.minimum(y0 + 1, h - 1)      # padded row H == row H-1
+    return x0, x1, y0, y1, tx, ty
+
+
+def _bilinear_grad_img(g: Array, xy: Array, h: int, w: int,
+                       wrap_x: bool, chunk: int = 8192) -> Array:
+    """d(bilinear_sample)/d(img) as DENSE MXU contractions — no scatter.
+
+    The mathematical transpose of the 4-tap gather is a scatter-add,
+    which XLA serializes on TPU (measured: the cost-volume sweep's
+    backward ran 130x its forward, ~3.3 s of the 4.34 s MVS train step).
+    Because bilinear weights factor per axis, the scatter equals
+
+        grad_img[y, x, c] = sum_q By[q, y] * Bx[q, x] * g[q, c]
+
+    with By/Bx the 2-hot per-point row/col weight matrices — two chunked
+    matmuls (K = points) that the MXU eats.  Exact same accumulation as
+    the scatter (duplicate taps sum), verified bit-close in
+    tests/test_resample.py.
+
+    :param g: (..., C) cotangent of the sampled output.
+    :param xy: (..., 2) the forward's sample coords.
+    :return: (h, w, C) gradient wrt the image, float32.
+    """
+    c = g.shape[-1]
+    gf = g.reshape(-1, c).astype(jnp.float32)
+    x = xy[..., 0].reshape(-1)
+    y = xy[..., 1].reshape(-1)
+    x0, x1, y0, y1, tx, ty = _bilinear_taps(x, y, h, w, wrap_x)
+    n = gf.shape[0]
+    s = min(chunk, n)
+    pad = (-n) % s
+    if pad:
+        zf32 = lambda a: jnp.concatenate(
+            [a, jnp.zeros((pad,) + a.shape[1:], a.dtype)])
+        gf, tx, ty = zf32(gf), zf32(tx), zf32(ty)
+        zi = lambda a: jnp.concatenate([a, jnp.zeros((pad,), a.dtype)])
+        x0, x1, y0, y1 = zi(x0), zi(x1), zi(y0), zi(y1)
+    k = (n + pad) // s
+    resh = lambda a: a.reshape(k, s, *a.shape[1:])
+    xs = tuple(map(resh, (gf, x0, x1, y0, y1,
+                          tx.astype(jnp.float32), ty.astype(jnp.float32))))
+
+    def body(acc, args):
+        gq, x0q, x1q, y0q, y1q, txq, tyq = args
+        by = (jax.nn.one_hot(y0q, h, dtype=jnp.float32)
+              * (1.0 - tyq)[:, None]
+              + jax.nn.one_hot(y1q, h, dtype=jnp.float32) * tyq[:, None])
+        bx = (jax.nn.one_hot(x0q, w, dtype=jnp.float32)
+              * (1.0 - txq)[:, None]
+              + jax.nn.one_hot(x1q, w, dtype=jnp.float32) * txq[:, None])
+        tmp = by[:, :, None] * gq[:, None, :]            # (s, h, c)
+        return acc + jnp.einsum("qx,qhc->hxc", bx, tmp), None
+
+    acc0 = jnp.zeros((h, w, c), jnp.float32)
+    out, _ = jax.lax.scan(body, acc0, xs)
+    return out
+
+
+def make_mm_backward_sampler(wrap_x: bool = True, pad_mode: str = "border"):
+    """``bilinear_sample`` with the matmul backward of
+    :func:`_bilinear_grad_img` wrt the image and a ZERO cotangent for the
+    coordinates.
+
+    Use where the sample coords carry no trainable dependence (the MVS
+    cost-volume sweep: uv is pure geometry of the frozen mono depth and
+    the poses, ``models/mvs.py``).  Differentiating the returned function
+    wrt ``xy`` silently yields zeros — do NOT use it for coord-optimizing
+    paths.  Forward is bit-identical to ``bilinear_sample``.
+    """
+    def fwd(img, xy):
+        return bilinear_sample(img, xy, wrap_x=wrap_x, pad_mode=pad_mode)
+
+    @jax.custom_vjp
+    def sample(img, xy):
+        return fwd(img, xy)
+
+    def sample_fwd(img, xy):
+        # residuals must be arrays: a zero-size strut carries the image's
+        # static shape/dtype into the backward
+        strut = jnp.zeros(img.shape[:2] + (0,), img.dtype)
+        return fwd(img, xy), (xy, strut)
+
+    def sample_bwd(res, g):
+        xy, strut = res
+        dt = strut.dtype
+        h, w, _ = strut.shape
+        if pad_mode == "zeros":
+            # the forward multiplies its out-of-range mask INTO the
+            # output, so the image cotangent needs the same factor;
+            # sampling a ones-image reproduces the mask exactly (the
+            # bilinear weights sum to 1 wherever the point is valid)
+            mask = bilinear_sample(jnp.ones((h, w, 1), jnp.float32), xy,
+                                   wrap_x=wrap_x, pad_mode="zeros")
+            g = g * mask.astype(g.dtype)
+        gi = _bilinear_grad_img(g, xy, h, w, wrap_x).astype(dt)
+        return gi, jnp.zeros_like(xy)
+
+    sample.defvjp(sample_fwd, sample_bwd)
+    return sample
+
+
 def nearest_sample(img: Array, xy: Array, *, wrap_x: bool = True) -> Array:
     """Nearest-neighbor sample ``img`` (H, W, C) at pixel coords ``xy``.
 

@@ -76,3 +76,95 @@ def test_zdepth_cosine_range():
     cos = np.asarray(cubemap.zdepth_cosine(16))
     assert cos.max() <= 1.0 + 1e-6
     assert cos.min() > 1.0 / np.sqrt(3) - 1e-3  # corner of the cube
+
+
+class TestMMBackwardSampler:
+    """make_mm_backward_sampler: forward bit-identical to bilinear_sample,
+    image gradient identical to the scatter-add transpose (the TPU
+    pathology it replaces — see ops/cost_volume.py _sweep_sample)."""
+
+    def _case(self, wrap_x, pad_mode, seed=0):
+        import jax
+        import jax.numpy as jnp
+        from panogrf_tpu.ops.resample import (bilinear_sample,
+                                              make_mm_backward_sampler)
+        rng = np.random.default_rng(seed)
+        h, w, c = 7, 12, 5
+        img = jnp.asarray(rng.normal(size=(h, w, c)), jnp.float32)
+        # coords cover interior, border, beyond-border and wrap seam;
+        # includes exact-integer hits (duplicate taps must sum)
+        xy = jnp.asarray(np.stack([
+            rng.uniform(-3, w + 3, size=(4, 33)),
+            rng.uniform(-3, h + 3, size=(4, 33))], -1), jnp.float32)
+        xy = xy.at[0, 0].set(jnp.asarray([3.0, 2.0]))
+        xy = xy.at[0, 1].set(jnp.asarray([w - 1.0, h - 1.0]))
+        cot = jnp.asarray(rng.normal(size=(4, 33, c)), jnp.float32)
+        mm = make_mm_backward_sampler(wrap_x=wrap_x, pad_mode=pad_mode)
+
+        out_ref = bilinear_sample(img, xy, wrap_x=wrap_x, pad_mode=pad_mode)
+        out_mm = mm(img, xy)
+        np.testing.assert_array_equal(np.asarray(out_ref),
+                                      np.asarray(out_mm))
+
+        g_ref = jax.grad(lambda im: (bilinear_sample(
+            im, xy, wrap_x=wrap_x, pad_mode=pad_mode) * cot).sum())(img)
+        g_mm = jax.grad(lambda im: (mm(im, xy) * cot).sum())(img)
+        np.testing.assert_allclose(np.asarray(g_ref), np.asarray(g_mm),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_wrap_border(self):
+        self._case(True, "border")
+
+    def test_nowrap_border(self):
+        self._case(False, "border")
+
+    def test_wrap_zeros(self):
+        self._case(True, "zeros")
+
+    def test_nowrap_zeros(self):
+        self._case(False, "zeros")
+
+    def test_chunked_padding(self):
+        """Point counts that don't divide the scan chunk still sum right."""
+        import jax
+        import jax.numpy as jnp
+        from panogrf_tpu.ops.resample import (_bilinear_grad_img,
+                                              bilinear_sample)
+        rng = np.random.default_rng(3)
+        h, w, c = 5, 9, 3
+        img = jnp.asarray(rng.normal(size=(h, w, c)), jnp.float32)
+        xy = jnp.asarray(rng.uniform(0, 8, size=(11, 2)), jnp.float32)
+        cot = jnp.asarray(rng.normal(size=(11, c)), jnp.float32)
+        g_ref = jax.grad(lambda im: (bilinear_sample(
+            im, xy, wrap_x=True) * cot).sum())(img)
+        g_mm = _bilinear_grad_img(cot, xy, h, w, True, chunk=4)
+        np.testing.assert_allclose(np.asarray(g_ref), np.asarray(g_mm),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_mvs_model_grads_match_scatter_path(self):
+        """End-to-end: MVS train-step gradients with the mm-backward sweep
+        equal the scatter-path gradients (flag off)."""
+        import jax
+        import jax.numpy as jnp
+        from panogrf_tpu.core.sphere import get_convention
+        from panogrf_tpu.ops import cost_volume as cv
+        rng = np.random.default_rng(11)
+        h4, w4, c, d = 8, 16, 6, 5
+        conv = get_convention("m3d")
+        rf = jnp.asarray(rng.normal(size=(h4, w4, c)), jnp.float32)
+        sf = jnp.asarray(rng.normal(size=(h4, w4, c)), jnp.float32)
+        dv = jnp.asarray(rng.uniform(0.5, 8.0, size=(d, h4, w4)),
+                         jnp.float32)
+        rot = jnp.stack([jnp.eye(3), jnp.eye(3)])
+        tr = jnp.zeros((2, 3)).at[0, 2].set(0.3)
+
+        def loss(sfx, mm):
+            cvol = cv.spherical_sweep_cost(rf, sfx, dv, rot[1], tr[1],
+                                           rot[0], tr[0], conv,
+                                           mm_backward=mm)
+            return (cvol ** 2).sum()
+
+        g_mm = jax.grad(lambda s: loss(s, True))(sf)
+        g_sc = jax.grad(lambda s: loss(s, False))(sf)
+        np.testing.assert_allclose(np.asarray(g_mm), np.asarray(g_sc),
+                                   rtol=1e-4, atol=1e-4)
