@@ -68,6 +68,12 @@ def main():
     ap.add_argument("--stages", default="step,fwd,feat,feat_grad,sweep,"
                                         "sweep_grad,reg,reg_grad")
     ap.add_argument("--iters", type=int, default=3)
+    ap.add_argument("--scatter", action="store_true",
+                    help="time the sweep stages through the SCATTER "
+                         "backward (mm_backward=False) for comparison; "
+                         "WARNING: at full shapes one chained dispatch "
+                         "can exceed the tunnel's ~30 s limit -- use "
+                         "--iters 1 and small shapes")
     args = ap.parse_args()
 
     import jax
@@ -173,7 +179,8 @@ def main():
 
     def sweep(rf, sf):
         return jax.vmap(lambda a, b, dv, rot, tr: spherical_sweep_cost(
-            a, b, dv, rot[1], tr[1], rot[0], tr[0], conv))(
+            a, b, dv, rot[1], tr[1], rot[0], tr[0], conv,
+            mm_backward=not args.scatter))(
             rf, sf, dvol, rots, trans)
 
     if "sweep" in stages:
