@@ -54,3 +54,21 @@ def test_losses_and_metrics_smoke():
     dm = metrics.depth_metrics_erp(jnp.full((16, 32), 3.0),
                                    jnp.full((16, 32), 3.0))
     assert float(dm["mae"]) < 1e-6 and float(dm["delta1"]) > 0.999
+
+
+def test_bench_main_json_contract(monkeypatch, capsys):
+    """bench.py --no-roofline on CPU emits the driver's one-line JSON
+    with the serving number AND the turbo point (turbo_ms_per_frame)."""
+    import importlib.util
+    from pathlib import Path
+    path = Path(__file__).resolve().parent.parent / "bench.py"
+    spec = importlib.util.spec_from_file_location("bench", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    monkeypatch.setattr(sys, "argv", ["bench.py", "--no-roofline"])
+    mod.main()
+    line = [ln for ln in capsys.readouterr().out.splitlines()
+            if ln.startswith("{")][-1]
+    rec = json.loads(line)
+    assert rec["unit"] == "ms/frame" and rec["value"] > 0
+    assert "turbo_ms_per_frame" in rec and rec["turbo_ms_per_frame"] > 0
