@@ -107,7 +107,16 @@ class Trainer:
         the trainer then replicates params/opt state across it and shards
         every per-ray batch array (tree key 'coords') on that axis; XLA
         inserts the gradient psum over ICI (SURVEY §2.8; the reference has
-        nothing here — multi-GPU raises, ``train/trainer.py:233-236``)."""
+        nothing here — multi-GPU raises, ``train/trainer.py:233-236``).
+
+        ``apply_fn`` may also be a dict ``{variant: fn}`` of apply
+        functions sharing ONE param tree (e.g. the same renderer at
+        several static sample counts): each variant gets its own jitted
+        step and :meth:`fit` cycles through them uniformly at random
+        (seeded from ``cfg.seed``).  This is the count-robust training
+        recipe — sample counts are otherwise train-time knobs (an eval
+        ``fine_depth_sample_num`` != the trained one collapses the sigma
+        calibration; AB_QUALITY_r5.json ``serving_f48``)."""
         self.cfg = cfg
         self.apply_fn = apply_fn
         self.val_fn = val_fn
@@ -120,7 +129,13 @@ class Trainer:
         if mesh is not None:
             from panogrf_tpu.parallel.sharded_train import replicate_tree
             self.state = replicate_tree(mesh, self.state)
-        self.train_step = make_train_step(apply_fn, cfg, self.tx)
+        if isinstance(apply_fn, dict):
+            self.train_steps = {k: make_train_step(fn, cfg, self.tx)
+                                for k, fn in apply_fn.items()}
+            self.train_step = next(iter(self.train_steps.values()))
+        else:
+            self.train_step = make_train_step(apply_fn, cfg, self.tx)
+            self.train_steps = None
         self.best_metric = -float("inf")
         self._ckpt_dir = Path(cfg.save_dir) / cfg.name
 
@@ -168,6 +183,11 @@ class Trainer:
         rng = jax.random.PRNGKey(self.cfg.seed)
         num_steps = num_steps or self.cfg.total_step
         last_metrics: Dict[str, float] = {}
+        variant_keys = (sorted(self.train_steps) if self.train_steps
+                        else None)
+        if variant_keys:
+            import numpy as _np
+            variant_rng = _np.random.default_rng(self.cfg.seed)
         for i, batch in enumerate(data_iter):
             if i >= num_steps:
                 break
@@ -175,7 +195,10 @@ class Trainer:
             if self.mesh is not None:
                 from panogrf_tpu.parallel.sharded_train import place_batch
                 batch = place_batch(self.mesh, batch)
-            self.state, metrics = self.train_step(self.state, batch, sub)
+            step_fn = (self.train_steps[
+                variant_keys[int(variant_rng.integers(len(variant_keys)))]]
+                if variant_keys else self.train_step)
+            self.state, metrics = step_fn(self.state, batch, sub)
             step = int(self.state.step)
             if step % self.cfg.log_interval == 0 or i == 0:
                 last_metrics = {k: float(v) for k, v in metrics.items()}

@@ -62,3 +62,42 @@ def test_renderer_training_reduces_loss():
     first_loss = logs[0][1]["loss"]
     last_loss = logs[-1][1]["loss"]
     assert last_loss < first_loss * 0.8, (first_loss, last_loss)
+
+
+def test_count_jitter_variants_share_one_param_tree():
+    """Count-robust recipe (trainer dict-apply path): the same param tree
+    trains under several static fine sample counts, one jitted step per
+    count, chosen per step.  Counts only change traced shapes (pos table,
+    attention token count) — never the parameter tree — so any listed
+    count can serve the resulting checkpoint."""
+    model64 = NeuralRayGenRenderer(height=H, width=W, depth_hw=(DH, DW),
+                                   depth_sample_num=8,
+                                   fine_depth_sample_num=8)
+    model32 = NeuralRayGenRenderer(height=H, width=W, depth_hw=(DH, DW),
+                                   depth_sample_num=8,
+                                   fine_depth_sample_num=4)
+    first = next(_data_stream(1))
+    params = jax.jit(model64.init)(jax.random.PRNGKey(0), first)
+    # param tree is count-independent
+    p32 = jax.jit(model32.init)(jax.random.PRNGKey(0), first)
+    assert jax.tree.structure(params) == jax.tree.structure(p32)
+
+    cfg = TrainerConfig(total_step=6, val_interval=10**9,
+                        save_interval=10**9, losses=("render",),
+                        log_interval=1,
+                        lr_cfg={"lr_init": 5e-4, "decay_step": 10**9,
+                                "decay_rate": 0.5})
+    trainer = Trainer(
+        {"f8": lambda p, b, r: model64.apply(p, b, rng=r),
+         "f4": lambda p, b, r: model32.apply(p, b, rng=r)},
+        params, cfg)
+    assert set(trainer.train_steps) == {"f8", "f4"}
+    trainer.fit(_data_stream(6))
+    leaves0 = jax.tree.leaves(params)
+    leaves1 = jax.tree.leaves(trainer.state.params)
+    assert any(bool(jnp.any(a != b)) for a, b in zip(leaves0, leaves1))
+    # both serve-time counts apply the trained tree
+    for m in (model64, model32):
+        out = m.apply(trainer.state.params, first,
+                      rng=jax.random.PRNGKey(1))
+        assert "pixel_colors_nr_fine" in out

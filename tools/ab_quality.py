@@ -49,6 +49,14 @@ def main():
                          "coarse/fine count instead of evaluating a "
                          "64-trained ckpt off its calibration")
     ap.add_argument("--proxy-samples", type=int, default=0)
+    ap.add_argument("--count-jitter", default="",
+                    help="comma list of FINE sample counts (e.g. "
+                         "'64,48,32'): train with the fine count drawn "
+                         "uniformly per step (one param tree, one jitted "
+                         "step per count) so a single ckpt stays "
+                         "calibrated at every listed serve-time count — "
+                         "the count-robust recipe (vs the per-count "
+                         "native ckpts of --fine-samples)")
     ap.add_argument("--modes", default="exact,fast_gather,bf16,"
                                        "light_coarse,diner")
     ap.add_argument("--train-mode", default="hierarchical",
@@ -143,7 +151,17 @@ def main():
                             log_interval=100,
                             lr_cfg={"lr_init": 4e-4, "decay_step": 10**9,
                                     "decay_rate": 0.5})
-        tr = Trainer(lambda p, b, r: base.apply(p, b, rng=r), params, cfg,
+        if args.count_jitter:
+            counts = [int(c) for c in args.count_jitter.split(",")]
+            variants = {
+                f"f{c}": (lambda p, b, r, _m=make_model(
+                    fine_depth_sample_num=c):
+                    _m.apply(p, b, rng=r))
+                for c in counts}
+            apply = variants
+        else:
+            apply = lambda p, b, r: base.apply(p, b, rng=r)
+        tr = Trainer(apply, params, cfg,
                      log_fn=lambda st, m: print(f"train {st}: "
                                                 f"loss={m['loss']:.4f}"))
         tr.fit(stream())
@@ -266,11 +284,16 @@ def main():
         if m and mode not in mode_cfgs:
             mode_cfgs[mode] = {"fast_gather": True,
                                "compute_dtype": "bfloat16"}
-        # clr<f>: the serving preset with the COARSE pass on an (H/f, W/f)
-        # ray grid, hit-prob bilinearly upsampled to drive the full-res
-        # fine pass (full_render.render_image_device coarse_lowres)
-        if _re.fullmatch(r"clr\d+", mode) and mode not in mode_cfgs:
+        # clr<f>[_fN]: the serving preset with the COARSE pass on an
+        # (H/f, W/f) ray grid, hit-prob bilinearly upsampled to drive the
+        # full-res fine pass (full_render.render_image_device
+        # coarse_lowres); optional _fN serves N fine samples (pair with a
+        # --count-jitter or native-count ckpt — see serving_f* collapse)
+        g = _re.fullmatch(r"clr(\d+)(?:_f(\d+))?", mode)
+        if g and mode not in mode_cfgs:
             mode_cfgs[mode] = dict(PRESETS["serving"])
+            if g.group(2):
+                mode_cfgs[mode]["fine_depth_sample_num"] = int(g.group(2))
     # NOTE: 'light_coarse' now decodes the FULL-res upsampled map under
     # fast_gather (renderer.prepare_ref); the recorded -6.9 dB was the
     # 1/4-res variant — re-run before citing.
@@ -313,7 +336,9 @@ def main():
             elif mode.startswith("clr") or mode == "turbo":
                 from panogrf_tpu.renderer.presets import \
                     PRESET_COARSE_LOWRES
-                f = (int(mode[3:]) if mode.startswith("clr")
+                f = (int(_re.fullmatch(r"clr(\d+)(?:_f\d+)?",
+                                       mode).group(1))
+                     if mode.startswith("clr")
                      else PRESET_COARSE_LOWRES["turbo"])
                 ref_data = full_render.prepare_ref_data(model, params,
                                                         ref_info)
