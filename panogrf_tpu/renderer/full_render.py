@@ -156,6 +156,98 @@ def render_image_device(model: NeuralRayGenRenderer, params: Any,
     return jnp.clip(rgb.reshape(h, w, 3), 0.0, 1.0)
 
 
+def render_video_device(model: NeuralRayGenRenderer, params: Any,
+                        ref_data: dict, c2ws: Array,
+                        que_depth_range: Array, ref_depth_range: Array,
+                        chunk: int = 256, coarse_lowres: int = 1,
+                        coarse_chunk: int = 0) -> Array:
+    """Render B frames of a pose path as ONE jitted computation.
+
+    The per-pose chunk body is ``jax.vmap``-ed over the pose axis inside
+    the same ``lax.map`` chunk loop as :func:`render_image_device`, so
+    the latency-bound aggregation matmuls run at B× the row count per
+    dispatch while reference data (merged maps) is shared — the natural
+    serving shape for the pose-path/video protocol (reference
+    ``render.py:304,401`` renders the 'inter' frames one by one through
+    its serial ray-batch loop).  Per-frame output is bit-exact to
+    :func:`render_image_device` at the same flags (vmap is a batching
+    transform, not an approximation; regression-tested).
+
+    :param c2ws: (B, 3, 4) camera-to-world poses.
+    :return: rgb (B, H, W, 3) on device.
+    """
+    h, w = model.height, model.width
+    n = h * w
+    assert c2ws.ndim == 3 and c2ws.shape[1:] == (3, 4), c2ws.shape
+    assert n % chunk == 0, (n, chunk)
+
+    xs, ys = np.meshgrid(np.arange(w), np.arange(h))
+    coords = jnp.asarray(
+        np.stack([xs, ys], -1).reshape(n // chunk, 1, chunk, 2), jnp.float32)
+
+    if coarse_lowres > 1:
+        assert model.use_hierarchical_sampling and not model.light_coarse
+        f = coarse_lowres
+        assert h % f == 0 and w % f == 0, (h, w, f)
+        lh, lw = h // f, w // f
+        nlr = lh * lw
+        lchunk = min(coarse_chunk or chunk, nlr)
+        assert nlr % lchunk == 0, (nlr, lchunk)
+        lxs, lys = np.meshgrid(np.arange(lw) * f + f // 2,
+                               np.arange(lh) * f + f // 2)
+        lcoords = jnp.asarray(
+            np.stack([lxs, lys], -1).reshape(nlr // lchunk, 1, lchunk, 2),
+            jnp.float32)
+
+        def coarse_one(c, cw):
+            return model.apply(
+                params, ref_data, c, cw, que_depth_range, ref_depth_range,
+                method=NeuralRayGenRenderer.coarse_hit_probs)[0]
+
+        def coarse_chunk_fn(c):
+            return jax.vmap(lambda cw: coarse_one(c, cw))(c2ws)
+
+        hit = jax.lax.map(coarse_chunk_fn, lcoords)  # (nc, B, lchunk, dn)
+        dn = hit.shape[-1]
+        b = c2ws.shape[0]
+        from panogrf_tpu.nn.blocks import resize_linear
+        hit_full = jax.vmap(
+            lambda hb: resize_linear(hb, (h, w), axes=(0, 1)))(
+            jnp.swapaxes(hit, 0, 1).reshape(b, lh, lw, dn))
+        hit_full = jnp.swapaxes(
+            hit_full.reshape(b, n // chunk, 1, chunk, dn), 0, 1)
+
+        def fine_one(c, hp, cw):
+            out = model.apply(
+                params, ref_data, c, hp, cw, que_depth_range,
+                ref_depth_range,
+                method=NeuralRayGenRenderer.render_fine_from_hit)
+            return out["pixel_colors_nr_fine"][0]
+
+        def fine_chunk_fn(args):
+            c, hp = args  # hp: (B, 1, chunk, dn)
+            return jax.vmap(lambda cw, h_: fine_one(c, h_, cw))(c2ws, hp)
+
+        rgb = jax.lax.map(fine_chunk_fn, (coords, hit_full))
+        rgb = jnp.swapaxes(rgb, 0, 1)  # (B, nc, chunk, 3)
+        return jnp.clip(rgb.reshape(-1, h, w, 3), 0.0, 1.0)
+
+    def render_one(c, cw):
+        out = model.apply(params, ref_data, c, cw, que_depth_range,
+                          ref_depth_range,
+                          method=NeuralRayGenRenderer.render_rays)
+        key = ("pixel_colors_nr_fine" if "pixel_colors_nr_fine" in out
+               else "pixel_colors_nr")
+        return out[key][0]
+
+    def render_chunk(c):
+        return jax.vmap(lambda cw: render_one(c, cw))(c2ws)
+
+    rgb = jax.lax.map(render_chunk, coords)          # (nc, B, chunk, 3)
+    rgb = jnp.swapaxes(rgb, 0, 1)
+    return jnp.clip(rgb.reshape(-1, h, w, 3), 0.0, 1.0)
+
+
 def render_image(model: NeuralRayGenRenderer, params: Any, ref_info: dict,
                  que_c2w: Array, que_depth_range: Array,
                  chunk: int = 8192, ref_data: Optional[dict] = None) -> dict:

@@ -102,7 +102,8 @@ class Trainer:
 
     def __init__(self, apply_fn: Callable, init_params: Any,
                  cfg: TrainerConfig, val_fn: Optional[Callable] = None,
-                 log_fn: Optional[Callable] = None, mesh: Any = None):
+                 log_fn: Optional[Callable] = None, mesh: Any = None,
+                 variant_probs: Optional[Dict[str, float]] = None):
         """``mesh``: optional ``jax.sharding.Mesh`` with a 'ray' axis —
         the trainer then replicates params/opt state across it and shards
         every per-ray batch array (tree key 'coords') on that axis; XLA
@@ -112,9 +113,10 @@ class Trainer:
         ``apply_fn`` may also be a dict ``{variant: fn}`` of apply
         functions sharing ONE param tree (e.g. the same renderer at
         several static sample counts): each variant gets its own jitted
-        step and :meth:`fit` cycles through them uniformly at random
-        (seeded from ``cfg.seed``).  This is the count-robust training
-        recipe — sample counts are otherwise train-time knobs (an eval
+        step and :meth:`fit` cycles through them at random (seeded from
+        ``cfg.seed``; ``variant_probs`` weights the draw, default
+        uniform).  This is the count-robust training recipe — sample
+        counts are otherwise train-time knobs (an eval
         ``fine_depth_sample_num`` != the trained one collapses the sigma
         calibration; AB_QUALITY_r5.json ``serving_f48``)."""
         self.cfg = cfg
@@ -133,9 +135,13 @@ class Trainer:
             self.train_steps = {k: make_train_step(fn, cfg, self.tx)
                                 for k, fn in apply_fn.items()}
             self.train_step = next(iter(self.train_steps.values()))
+            if variant_probs is not None:
+                assert set(variant_probs) == set(apply_fn), \
+                    (set(variant_probs), set(apply_fn))
         else:
             self.train_step = make_train_step(apply_fn, cfg, self.tx)
             self.train_steps = None
+        self.variant_probs = variant_probs
         self.best_metric = -float("inf")
         self._ckpt_dir = Path(cfg.save_dir) / cfg.name
 
@@ -188,6 +194,12 @@ class Trainer:
         if variant_keys:
             import numpy as _np
             variant_rng = _np.random.default_rng(self.cfg.seed)
+            if self.variant_probs is not None:
+                w = _np.asarray([self.variant_probs[k]
+                                 for k in variant_keys], float)
+                probs = w / w.sum()
+            else:
+                probs = None
         for i, batch in enumerate(data_iter):
             if i >= num_steps:
                 break
@@ -196,7 +208,8 @@ class Trainer:
                 from panogrf_tpu.parallel.sharded_train import place_batch
                 batch = place_batch(self.mesh, batch)
             step_fn = (self.train_steps[
-                variant_keys[int(variant_rng.integers(len(variant_keys)))]]
+                variant_keys[int(variant_rng.choice(len(variant_keys),
+                                                    p=probs))]]
                 if variant_keys else self.train_step)
             self.state, metrics = step_fn(self.state, batch, sub)
             step = int(self.state.step)

@@ -105,3 +105,33 @@ def test_coarse_chunk_is_pure_blocking():
                                         coarse_chunk=256, **kw)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_video_batch_matches_per_frame():
+    """render_video_device: B pose-batched frames == the per-frame
+    render_image_device outputs, at f=1 and at the serving f=2 path
+    (vmap over the pose axis is pure batching, not an approximation)."""
+    H, W, DH, DW = 32, 64, 16, 32
+    ref_info, c2w = _scene(H, W, DH, DW)
+    model = NeuralRayGenRenderer(height=H, width=W, depth_hw=(DH, DW),
+                                 depth_sample_num=8,
+                                 fine_depth_sample_num=8, fast_gather=True)
+    data = {"ref_imgs_info": ref_info,
+            "que_imgs_info": {
+                "coords": jnp.zeros((1, 8, 2)), "c2w": c2w,
+                "depth_range": jnp.asarray([[0.5, 15.0]])}}
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), data)
+    ref_data = full_render.prepare_ref_data(model, params, ref_info)
+    qdr = jnp.asarray([[0.5, 15.0]])
+    c2w2 = c2w.at[2, 3].add(0.3)
+    c2ws = jnp.stack([c2w, c2w2])
+    for f in (1, 2):
+        vid = np.asarray(full_render.render_video_device(
+            model, params, ref_data, c2ws, qdr, ref_info["depth_range"],
+            chunk=128, coarse_lowres=f))
+        assert vid.shape == (2, H, W, 3)
+        for i, cw in enumerate((c2w, c2w2)):
+            one = np.asarray(full_render.render_image_device(
+                model, params, ref_data, cw, qdr, ref_info["depth_range"],
+                chunk=128, coarse_lowres=f))
+            np.testing.assert_allclose(vid[i], one, rtol=2e-4, atol=2e-5)

@@ -56,7 +56,9 @@ def main():
                          "step per count) so a single ckpt stays "
                          "calibrated at every listed serve-time count — "
                          "the count-robust recipe (vs the per-count "
-                         "native ckpts of --fine-samples)")
+                         "native ckpts of --fine-samples).  Duplicates "
+                         "weight the draw: '64,64,48,32' trains half "
+                         "the steps at 64")
     ap.add_argument("--modes", default="exact,fast_gather,bf16,"
                                        "light_coarse,diner")
     ap.add_argument("--train-mode", default="hierarchical",
@@ -151,17 +153,21 @@ def main():
                             log_interval=100,
                             lr_cfg={"lr_init": 4e-4, "decay_step": 10**9,
                                     "decay_rate": 0.5})
+        probs = None
         if args.count_jitter:
             counts = [int(c) for c in args.count_jitter.split(",")]
+            # duplicates weight the per-step draw: '64,64,48,32' trains
+            # half the steps at 64
+            probs = {f"f{c}": counts.count(c) for c in set(counts)}
             variants = {
                 f"f{c}": (lambda p, b, r, _m=make_model(
                     fine_depth_sample_num=c):
                     _m.apply(p, b, rng=r))
-                for c in counts}
+                for c in set(counts)}
             apply = variants
         else:
             apply = lambda p, b, r: base.apply(p, b, rng=r)
-        tr = Trainer(apply, params, cfg,
+        tr = Trainer(apply, params, cfg, variant_probs=probs,
                      log_fn=lambda st, m: print(f"train {st}: "
                                                 f"loss={m['loss']:.4f}"))
         tr.fit(stream())

@@ -49,6 +49,13 @@ def main():
                     help="'eval': held-out query view (with metrics); "
                          "'inter': interpolated path between refs (video)")
     ap.add_argument("--inter-num", type=int, default=12)
+    ap.add_argument("--frame-batch", type=int, default=4,
+                    help="pose-path frames rendered together per dispatch "
+                         "(full_render.render_video_device: the chunk "
+                         "body is vmapped over poses, so the "
+                         "latency-bound agg matmuls run at B x the rows "
+                         "while the merged maps are shared; per-frame "
+                         "output is bit-exact).  1 = the per-frame path")
     ap.add_argument("--shards", default=None,
                     help="render scenes from this shard dir (real data)")
     ap.add_argument("--lpips-weights", default=None)
@@ -252,16 +259,37 @@ def main():
             path = P.prepare_render_info(c2w_all, "inter",
                                          inter_num=args.inter_num)
             ref_data = full_render.prepare_ref_data(model, params, ref_info)
+            qdr = data["que_imgs_info"]["depth_range"]
+            chunk = args.chunk or PRESET_CHUNK[args.preset]
+            while (H * W) % chunk:
+                chunk //= 2
+            fb = max(1, args.frame_batch)
             frames = []
-            for fi, c2w in enumerate(path):
-                out = full_render.render_image(
-                    model, params, ref_info, jnp.asarray(c2w),
-                    data["que_imgs_info"]["depth_range"],
-                    chunk=min(8192, H * W), ref_data=ref_data)
-                save_image(out_dir / f"{qi}-frame{fi:03d}.png", out["rgb"])
-                frames.append(np.asarray(
-                    np.clip(np.asarray(out["rgb"]) * 255.0, 0, 255),
-                    np.uint8))
+            for g0 in range(0, len(path), fb):
+                grp = np.asarray(path[g0:g0 + fb])
+                ng = grp.shape[0]
+                if ng < fb:  # pad to the compiled batch; trim below
+                    grp = np.concatenate(
+                        [grp, np.repeat(grp[-1:], fb - ng, axis=0)])
+                if fb > 1:
+                    rgbs = full_render.render_video_device(
+                        model, params, ref_data, jnp.asarray(grp), qdr,
+                        ref_info["depth_range"], chunk=chunk,
+                        coarse_lowres=clr,
+                        coarse_chunk=PRESET_COARSE_CHUNK[args.preset])
+                else:
+                    rgbs = full_render.render_image_device(
+                        model, params, ref_data, jnp.asarray(grp[0]), qdr,
+                        ref_info["depth_range"], chunk=chunk,
+                        coarse_lowres=clr,
+                        coarse_chunk=PRESET_COARSE_CHUNK[args.preset])[None]
+                for gi in range(ng):
+                    fi = g0 + gi
+                    rgb = rgbs[gi]
+                    save_image(out_dir / f"{qi}-frame{fi:03d}.png", rgb)
+                    frames.append(np.asarray(
+                        np.clip(np.asarray(rgb) * 255.0, 0, 255),
+                        np.uint8))
             # assemble the pose-path frames into a video (reference
             # render.py:304,401 imageio.mimsave of the 'inter' loop)
             try:
