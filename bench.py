@@ -94,6 +94,10 @@ def main():
                     help="coarse-pass sample count (0 = 64); same "
                          "train-time-knob warning as --fine-samples "
                          "(r3 coarse16 -5.8 dB)")
+    ap.add_argument("--video-batch", type=int, default=0,
+                    help="also time the pose-path serving shape: B frames "
+                         "per dispatch (full_render.render_video_device), "
+                         "reported as video_ms_per_frame (amortized)")
     ap.add_argument("--no-coarse-geometry-only", dest="coarse_geo_only",
                     action="store_false", default=None,
                     help="keep the coarse pass's (discarded) RGB head")
@@ -261,6 +265,33 @@ def main():
             tt.append(time.perf_counter() - t0)
         result["turbo_ms_per_frame"] = round(
             max(min(tt) - rtt, 1e-9) * 1000.0, 2)
+
+    if args.video_batch:
+        # pose-path serving: B frames per dispatch through
+        # full_render.render_video_device (chunk body vmapped over poses,
+        # merged maps shared; per-frame output bit-exact to the
+        # single-frame path) — reported as amortized ms/frame
+        B = args.video_batch
+        c2ws = jnp.stack([c2w.at[2, 3].add(0.01 * i) for i in range(B)])
+
+        @jax.jit
+        def frame_sum_video(ref_data, c2ws):
+            rgb = full_render.render_video_device(
+                model, params, ref_data, c2ws, qdr,
+                ref_info["depth_range"], chunk=chunk, coarse_lowres=clr,
+                coarse_chunk=cchunk)
+            return rgb.sum()
+
+        _ = float(frame_sum_video(ref_data, c2ws))
+        tv = []
+        for i in range(3):
+            cs = c2ws.at[:, 2, 3].add(0.001 * (i + 3))
+            t0 = time.perf_counter()
+            _ = float(frame_sum_video(ref_data, cs))
+            tv.append(time.perf_counter() - t0)
+        result["video_ms_per_frame"] = round(
+            max(min(tv) - rtt, 1e-9) * 1000.0 / B, 2)
+        result["video_batch"] = B
 
     if args.roofline and not args.diner and not args.ablate:
         # MFU/roofline accounting (utils/roofline.py): measure the two
