@@ -101,3 +101,31 @@ def test_count_jitter_variants_share_one_param_tree():
         out = m.apply(trainer.state.params, first,
                       rng=jax.random.PRNGKey(1))
         assert "pixel_colors_nr_fine" in out
+
+
+def test_train_renderer_cli_count_jitter(tmp_path, monkeypatch, capsys):
+    """`tools/train_renderer.py --count-jitter 8,8,4` drives the
+    count-robust recipe from the production CLI (one ckpt, weighted
+    per-step fine-count draw) — not just from the ab_quality harness."""
+    import importlib.util
+    import sys
+    from pathlib import Path
+    cfg = tmp_path / "tiny.yaml"
+    cfg.write_text(
+        "name: jitter_e2e\nheight: 32\nwidth: 64\ndepth_height: 16\n"
+        "depth_width: 32\ndepth_sample_num: 8\nfine_depth_sample_num: 8\n"
+        "total_step: 3\nval_interval: 1000000\nsave_interval: 1000000\n"
+        f"save_dir: {tmp_path}/model\n")
+    path = Path(__file__).resolve().parent.parent / "tools" / \
+        "train_renderer.py"
+    spec = importlib.util.spec_from_file_location("train_renderer", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    monkeypatch.setattr(sys, "argv", [
+        "train_renderer.py", "--cfg", str(cfg), "--steps", "3",
+        "--pool", "2", "--cpu", "--count-jitter", "8,8,4"])
+    mod.main()
+    assert (tmp_path / "model" / "jitter_e2e" / "latest").exists()
+    out = capsys.readouterr().out
+    assert "count-jitter training" in out
+    assert "'f8': 2" in out and "'f4': 1" in out

@@ -49,6 +49,17 @@ def main():
                     help="multi-view training with V>2 views (reference "
                          "run_training_mv.py protocol: refs = "
                          "range(V-1), query drawn from test_views)")
+    ap.add_argument("--count-jitter", default="",
+                    help="comma list of FINE sample counts (e.g. "
+                         "'64,64,48,32'; duplicates weight the per-step "
+                         "draw): train ONE ckpt with the fine count drawn "
+                         "per step so every listed count stays usable at "
+                         "serve time (tools/render.py --fine-samples). "
+                         "Counts are otherwise train-time knobs — a "
+                         "64-trained ckpt collapses at any other count "
+                         "(AB_QUALITY_r5 serving_f48); the weighted "
+                         "jitter ckpt at f32 beat the dedicated "
+                         "native-32 ckpt by +0.47 dB (jitter_w rows)")
     args = ap.parse_args()
 
     if args.cpu:
@@ -73,7 +84,7 @@ def main():
     H, W = R.height, R.width
     DH, DW = cfg.mvs.depth_height, cfg.mvs.depth_width
 
-    model = NeuralRayGenRenderer(
+    model_kw = dict(
         height=H, width=W, depth_hw=(DH, DW), min_depth=R.min_depth,
         max_depth=R.max_depth, mvs_min_depth=cfg.mvs.mvs_min_depth,
         mvs_max_depth=cfg.mvs.mvs_max_depth,
@@ -85,6 +96,7 @@ def main():
         # apart in the ref maps): strictly faster; forward bit-exact,
         # gradients equal up to f32 summation order (tested)
         gather_depth_major=True)
+    model = NeuralRayGenRenderer(**model_kw)
 
     rng = np.random.default_rng(cfg.train.seed)
     reader = ShardReader(args.shards) if args.shards else None
@@ -205,8 +217,23 @@ def main():
             "use_polar_weighted_loss": R.use_polar_weighted_loss}},
         seed=cfg.train.seed, save_dir=cfg.train.save_dir)
 
-    def apply_fn(p, batch, rng_):
-        return model.apply(p, batch, rng=rng_)
+    # count-robust recipe: a dict of apply fns (one per static fine
+    # count, ONE shared param tree) makes the Trainer draw the count per
+    # step — see Trainer.__init__ docstring + AB_QUALITY_r5 jitter_w rows
+    variant_probs = None
+    if args.count_jitter:
+        counts = [int(c) for c in args.count_jitter.split(",")]
+        variant_probs = {f"f{c}": counts.count(c) for c in set(counts)}
+        apply_fn = {
+            f"f{c}": (lambda p, b, r, _m=NeuralRayGenRenderer(
+                **{**model_kw, "fine_depth_sample_num": c}):
+                _m.apply(p, b, rng=r))
+            for c in set(counts)}
+        print(f"count-jitter training: fine counts {sorted(set(counts))} "
+              f"weights {variant_probs}")
+    else:
+        def apply_fn(p, batch, rng_):
+            return model.apply(p, batch, rng=rng_)
 
     # ValidationEvaluator (reference train/train_valid.py:10-120): fixed
     # val scenes, full-query-view render, psnr/ssim/ws-psnr; the trainer
@@ -271,7 +298,7 @@ def main():
         print(f"training on mesh {dict(mesh.shape)}")
 
     trainer = Trainer(apply_fn, params, tc, val_fn=val_fn, log_fn=log,
-                      mesh=mesh)
+                      mesh=mesh, variant_probs=variant_probs)
     trainer.fit(stream, key_metric="psnr_nr")
     trainer.save("latest")
     print("done")
